@@ -1,0 +1,571 @@
+package graft.crawl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+import graft.functions.{Funcs, GoUrl}
+
+/** Crawl configuration — reference defaults cited in BASELINE.md. */
+final case class CrawlConfig(
+    agent: String = "Fetchbot (https://github.com/PuerkitoBio/fetchbot)", // fetch.go:43-44
+    crawlDelaySec: Double = 1.0, // cfg.CrawlDelaySeconds (config.go:52-56); lib default 5s
+    polite: Boolean = true,      // robots respected unless Polite=false (crawler.go:123)
+    staleDurationSec: Long = 72L * 3600, // StaleDuration 72h hardcoded (config.go:97-100)
+    waveWindowSec: Double = 8.0, // virtual politeness window per wave
+    seedSourcesLimit: Int = 200, // crawler.go:139
+    seedUrlsInit: Int = 10,      // crawler.go:140
+    seedUrlsRefill: Int = 400,   // crawler.go:150
+    lowWatermark: Int = 100,     // crawler.go:147
+    quiescent: Boolean = true,   // gate re-seeds on staleness so batch runs terminate
+    compactEvery: Int = 16)
+
+/** The crawl scheduler: sentry's three-fetcher pipeline
+  * (/root/reference/crawler.go:36-156, content_crawler.go, seed_crawler.go +
+  * vendor/github.com/PuerkitoBio/fetchbot/fetch.go) re-expressed as a
+  * deterministic batch loop of DataFrame transformations — the foreachBatch
+  * body of a Structured-Streaming deployment (SURVEY §3.1).
+  *
+  * One wave = one virtual politeness window:
+  *   seed (T7 thresholds 200/10/400/100) → enqueue-dedup (J8 anti-join vs
+  *   frontier) → per-host budget (T4 politeness, T3 FIFO by seq) → robots
+  *   gate (P8) → offline fetch (join vs the page table, S6) → response
+  *   handlers (GET/HEAD mux P12; link extraction F9; url/link/snapshot
+  *   writes T9) → next-wave enqueues → atomic multi-table commit + lineage
+  *   (T10).
+  *
+  * Time is virtual (vt = seconds since Model epoch): politeness is enforced
+  * by budgeted takes — a host executes at most floor(window/delay) commands
+  * per wave at vt spacing >= its effective delay — instead of sleeping in
+  * executors. That yields a deterministic, parallelism-independent schedule
+  * (the north rule's exact-match property holds at local[8] and local[32]
+  * alike). Deliberate, documented determinism deviations from the reference
+  * (which stamps wall-clock time, random uuids, and random Go-map header
+  * order): deterministic sha-derived ids, fixed header k/v order, and
+  * set-semantics enqueue (sentry's 30-min reseed tick can transiently
+  * double-enqueue; final membership is identical).
+  *
+  * Scale notes (10^10-url frontier): every join/agg below keys on `url` or
+  * `(host, lane)`; the frontier and urls tables are the only large state and
+  * both are append/MOR parquet (Iceberg-shaped). Small sides (whitelist,
+  * host plan, robots) broadcast. Per-host FIFO needs only a per-host window
+  * over the *budgeted* rows (bounded by window/delay per host), never a
+  * global sort. Mega-host skew is bounded by the politeness budget itself —
+  * a host can contribute at most floor(window/delay) rows per wave — so the
+  * fetch stage is skew-immune by construction; the enqueue anti-joins rely
+  * on AQE skew handling.
+  */
+final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) {
+  import spark.implicits._
+  import Model._
+
+  private val SeqStride = 1L << 32
+  private val EnqueueOffset = 1L << 24 // response-derived enqueues sort after next wave's seeds
+  private val baseEpochSec: Long = Model.VirtualEpoch.getTime / 1000L
+
+  private def vtTs(vtCol: Column): Column = timestamp_seconds(lit(baseEpochSec) + floor(vtCol))
+
+  private val robotsDelayUdf = udf { (txt: String, agent: String) =>
+    if (txt == null || txt.isEmpty) null
+    else RobotsCache.get(txt).crawlDelay(agent).map(Double.box).orNull
+  }
+  private val robotsAllowUdf = udf { (txt: String, path: String, agent: String) =>
+    if (txt == null || txt.isEmpty) true
+    else RobotsCache.get(txt).testAgent(if (path == null || path.isEmpty) "/" else path, agent)
+  }
+  /** Source.AsUrl: prepend http:// and round-trip the parser (source.go:123-147). */
+  private val asUrlUdf = udf { (src: String) =>
+    GoUrl.parse("http://" + src).map(_.serialize).toOption.orNull
+  }
+
+  // -------------------------------------------------------------- table views
+
+  private def emptyDF[T <: Product : org.apache.spark.sql.Encoder]: DataFrame =
+    spark.emptyDataset[T].toDF()
+
+  private def frontierDF: DataFrame =
+    store.readLatest("frontier").getOrElse(emptyDF[FrontierRow])
+
+  private def hostStateDF: DataFrame =
+    store.readLatest("host_state").getOrElse(emptyDF[HostStateRow])
+
+  /** urls merge-on-read view: latest (wave, prio) row per url wins. */
+  def urlsView: DataFrame =
+    store.readAppendOnly("urls") match {
+      case None => emptyDF[UrlRow]
+      case Some(df) =>
+        val w = Window.partitionBy("url").orderBy(desc("w_wave"), desc("w_prio"))
+        df.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1)
+          .drop("rn_", "w_wave", "w_prio")
+    }
+
+  /** links view: first (src,dst) row wins (Read-or-Insert, link.go:47-79). */
+  def linksView: DataFrame =
+    store.readAppendOnly("links").getOrElse(emptyDF[LinkRow])
+
+  def snapshotsView: DataFrame =
+    store.readAppendOnly("snapshots").getOrElse(emptyDF[SnapshotRow])
+  def fetchLogView: DataFrame =
+    store.readAppendOnly("fetch_log").getOrElse(emptyDF[FetchLogRow])
+  def lineageView: DataFrame =
+    store.readAppendOnly("lineage").getOrElse(emptyDF[LineageRow])
+  def pagesDF: DataFrame = store.readLatest("pages").get
+  def sourcesDF: DataFrame = store.readLatest("sources").get
+
+  // -------------------------------------------------------------- bootstrap
+
+  def bootstrap(pages: DataFrame, sources: DataFrame): Unit = {
+    store.stageRewrite("pages", pages)
+    store.stageRewrite("sources", sources)
+    store.commitWave(-1L)
+  }
+
+  // -------------------------------------------------------------- one wave
+
+  final case class WaveStats(wave: Long, taken: Long, fetchedOk: Long,
+      enqueued: Long, frontierDepth: Long)
+
+  def runWave(w: Long): WaveStats = {
+    store.resetPending()
+    val waveStart = w * cfg.waveWindowSec
+    val waveEnd = (w + 1) * cfg.waveWindowSec
+    val nowSec = baseEpochSec + waveStart.toLong
+    val nowTs = timestamp_seconds(lit(nowSec))
+    val staleBefore = nowSec - cfg.staleDurationSec
+
+    val frontier0 = frontierDF
+    val urls0 = urlsView.persist(StorageLevel.MEMORY_AND_DISK)
+    val hostState0 = hostStateDF
+    val queuedCount = frontier0.filter($"state" === StateQueued).count() // A10 gauge
+
+    // ---- 1. seeding (crawler.go:139-153)
+    val doSeed = w == 0 || queuedCount < cfg.lowWatermark
+    val seedUrlCount = if (w == 0) cfg.seedUrlsInit else cfg.seedUrlsRefill
+
+    val (seedRows, seedCreates, whitelist) = if (doSeed) {
+      // qSourcesCrawling (queries.go:455-464): crawl=true order by created desc limit 200
+      val srcSeeds = sourcesDF.filter($"crawl" === true)
+        .orderBy(desc("created"), asc("url")).limit(cfg.seedSourcesLimit)
+        .select(asUrlUdf($"url").as("s_url"),
+          row_number().over(Window.orderBy(desc("created"), asc("url"))).as("ord"))
+        .filter($"s_url".isNotNull)
+        .withColumn("kind", lit(0))
+
+      val wl = srcSeeds.select(Funcs.hostUdf($"s_url").as("host")).distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      wl.count()
+
+      // quiescent mode gates source re-seeds on GET staleness so batch runs
+      // terminate (sentry re-fetches roots unconditionally forever, T7)
+      val srcSeedsGated =
+        if (cfg.quiescent && w > 0)
+          srcSeeds.join(
+            urls0.filter($"last_get".isNotNull &&
+              unix_timestamp($"last_get") >= staleBefore).select($"url".as("s_url")),
+            Seq("s_url"), "left_anti")
+        else srcSeeds
+
+      // seedUrls (crawler.go:211-234): whitelisted unfetched, created desc
+      val unfetched = urls0.filter($"last_get".isNull)
+        .withColumn("host", Funcs.hostUdf($"url"))
+        .join(wl, Seq("host"), "left_semi")
+        .orderBy(desc("created"), asc("url")).limit(seedUrlCount)
+        .select($"url".as("s_url"),
+          row_number().over(Window.orderBy(desc("created"), asc("url"))).as("ord"))
+        .withColumn("kind", lit(1))
+
+      val allSeeds = srcSeedsGated.unionByName(unfetched)
+        .withColumn("rn_", row_number().over(Window.partitionBy($"s_url").orderBy($"kind", $"ord")))
+        .filter($"rn_" === 1)
+        .join(frontier0.select($"url".as("s_url")), Seq("s_url"), "left_anti") // enqued map
+        .withColumn("seq", lit(w * SeqStride) +
+          row_number().over(Window.orderBy($"kind", $"ord")).cast("long"))
+        .select($"s_url".as("url"), lit("GET").as("method"),
+          Funcs.hostUdf($"s_url").as("host"), lit("A").as("lane"),
+          lit(w).as("wave"), $"seq", lit(StateQueued).as("state"))
+
+      // AsUrl Read-or-Save: unseen source roots become url rows
+      val creates = srcSeedsGated.select($"s_url".as("url")).distinct()
+        .join(urls0.select("url"), Seq("url"), "left_anti")
+        .select(newUrlRowCols($"url", nowTs): _*)
+
+      (allSeeds, creates, wl)
+    } else {
+      val wl = store.readLatest("whitelist").getOrElse(Seq.empty[String].toDF("host"))
+      (emptyDF[FrontierRow], emptyUrlRows, wl)
+    }
+
+    val frontierIn = frontier0.unionByName(seedRows).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- 2. politeness budget + robots plan (T4/T5)
+    val queued = frontierIn.filter($"state" === StateQueued)
+    val pages = pagesDF
+
+    val hostsInPlay = queued.groupBy($"host", $"lane").agg(count(lit(1)).as("depth"))
+      .join(hostState0, Seq("host", "lane"), "left")
+      .withColumn("robots_fetched", coalesce($"robots_fetched", lit(false)))
+      .withColumn("start_vt",
+        greatest(coalesce($"next_fetch_vt", lit(waveStart)), lit(waveStart)))
+
+    // first sight of a host prepends its robots.txt fetch (fetch.go:289-310)
+    val robotsFetched = hostsInPlay
+      .filter(lit(cfg.polite) && !$"robots_fetched" && $"start_vt" < waveEnd)
+      .join(queued.groupBy($"host", $"lane").agg(min_by($"url", $"seq").as("first_url")),
+        Seq("host", "lane"))
+      .withColumn("robots_url",
+        concat(coalesce(nullif(Funcs.schemeUdf($"first_url"), lit("")), lit("http")),
+          lit("://"), $"host", lit("/robots.txt")))
+      .join(pages.select($"url".as("robots_url"), $"html".as("robots_body")),
+        Seq("robots_url"), "left")
+      .withColumn("new_robots_txt",
+        when($"robots_body".isNotNull, decode($"robots_body", "UTF-8")).otherwise(lit("")))
+      .withColumn("delay_override", robotsDelayUdf($"new_robots_txt", lit(cfg.agent)))
+      .select($"host", $"lane", $"robots_url", $"new_robots_txt", $"delay_override",
+        $"start_vt".as("r_start"), $"robots_body".isNotNull.as("robots_found"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val hostPlan = hostsInPlay
+      .join(robotsFetched.select($"host", $"lane", $"new_robots_txt", $"delay_override"),
+        Seq("host", "lane"), "left")
+      .withColumn("robots_now", lit(cfg.polite) && !$"robots_fetched" && $"start_vt" < waveEnd)
+      .withColumn("eff_robots_txt",
+        when($"robots_now", $"new_robots_txt").otherwise(coalesce($"robots_txt", lit(""))))
+      .withColumn("eff_delay",
+        when($"robots_now" && $"delay_override".isNotNull, $"delay_override")
+          .otherwise(coalesce($"crawl_delay_sec", lit(cfg.crawlDelaySec))))
+      .select($"host", $"lane", $"robots_now", $"eff_robots_txt", $"eff_delay", $"start_vt")
+
+    // per-host FIFO take under the politeness budget (fetch.go:345-425 + iq_slice)
+    val wSeq = Window.partitionBy($"host", $"lane").orderBy($"seq")
+    val budgeted = queued.join(hostPlan, Seq("host", "lane"))
+      .withColumn("rn", row_number().over(wSeq))
+      .withColumn("vt",
+        when($"robots_now", $"start_vt" + $"rn" * $"eff_delay")
+          .otherwise($"start_vt" + ($"rn" - 1) * $"eff_delay"))
+      .filter($"vt" < waveEnd && $"start_vt" < waveEnd)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- 3. robots path gate (P8)
+    val gated = budgeted
+      .withColumn("path", Funcs.pathUdf($"url"))
+      .withColumn("allowed",
+        !lit(cfg.polite) || robotsAllowUdf($"eff_robots_txt", $"path", lit(cfg.agent)))
+    val disallowed = gated.filter(!$"allowed")
+
+    // ---- 4. offline fetch (S6): resolve against the page table
+    val fetched = gated.filter($"allowed")
+      .join(pages.select($"url", $"html"), Seq("url"), "left")
+      .withColumn("found", $"html".isNotNull)
+      .withColumn("body_len", when($"found", length($"html")).otherwise(lit(0)).cast("long"))
+      .withColumn("content_type",
+        when($"found", Funcs.contentTypeUdf($"url", $"html")).otherwise(lit("")))
+      .withColumn("ct_base", trim(split($"content_type", ";").getItem(0)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- 5. response handlers (P12 mux)
+    val getOk = fetched.filter($"method" === "GET" && $"found")
+      .withColumn("sniff", Funcs.sniffUdf($"html"))
+      .withColumn("is_doc",
+        $"sniff" === "text/html; charset=utf-8" || $"sniff" === "text/plain; charset=utf-8")
+      .withColumn("title", when($"is_doc", Funcs.titleUdf($"html")).otherwise(lit(null)))
+      .withColumn("file_name_new",
+        when(!$"is_doc" && !$"sniff".isin(sniffUnwanted: _*), fileNameCol($"url"))
+          .otherwise(lit(null)))
+      .withColumn("resp_headers", array(lit("Content-Length"), $"body_len".cast("string"),
+        lit("Content-Type"), $"content_type"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val headOk = fetched.filter($"method" === "HEAD" && $"found")
+    // only text/html HEAD responses have a handler (crawler.go:79-116)
+    val headHtml = headOk.filter($"ct_base" === "text/html")
+      .withColumn("resp_headers", array(lit("Content-Length"), $"body_len".cast("string"),
+        lit("Content-Type"), $"content_type"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // unmatched HEADs hit the no-op DefaultHandler and keep their enqued slot
+    // forever (handler.go:62-64) — blocked tombstones
+    val headBlockedRows = headOk.filter($"ct_base" =!= "text/html")
+      .select($"url", $"method", $"host", $"lane", $"wave", $"seq",
+        lit(StateBlocked).as("state"))
+
+    // ---- 6. url writes (MOR appends)
+    val urlsEff = urls0.unionByName(seedCreates)
+
+    val getUpdates = getOk.alias("g")
+      .join(urlsEff.alias("u"), col("g.url") === col("u.url"), "inner") // u.Read must succeed
+      .select(
+        col("g.url").as("url"), col("u.created").as("created"), vtTs($"vt").as("updated"),
+        col("u.last_head").as("last_head"), vtTs($"vt").as("last_get"),
+        lit(200).as("status"), col("g.content_type").as("content_type"),
+        col("g.sniff").as("content_sniff"), col("g.body_len").as("content_length"),
+        coalesce(col("g.file_name_new"), col("u.file_name"), lit("")).as("file_name"),
+        coalesce(when(col("g.is_doc"), col("g.title")), col("u.title"), lit("")).as("title"),
+        col("u.id").as("id"), lit(0).as("headers_took"), lit(0).as("download_took"),
+        col("g.resp_headers").as("headers"), col("u.meta").as("meta"),
+        col("u.hash").as("hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val headUpdates = headHtml.alias("g")
+      .join(urlsEff.alias("u"), col("g.url") === col("u.url"), "inner")
+      .select(
+        col("g.url").as("url"), col("u.created").as("created"), vtTs($"vt").as("updated"),
+        vtTs($"vt").as("last_head"), col("u.last_get").as("last_get"),
+        lit(200).as("status"), col("g.content_type").as("content_type"),
+        col("u.content_sniff").as("content_sniff"), col("g.body_len").as("content_length"),
+        col("u.file_name").as("file_name"), col("u.title").as("title"),
+        col("u.id").as("id"), lit(0).as("headers_took"), lit(0).as("download_took"),
+        col("g.resp_headers").as("headers"), col("u.meta").as("meta"),
+        col("u.hash").as("hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- 7. link extraction (F9) — HandleGetResponse stores links for every
+    // doc GET in all lanes (content_crawler only skips the *enqueue*)
+    val linksRaw = getOk.filter($"is_doc")
+      .select($"url".as("src"), $"seq".as("src_seq"), $"vt".as("src_vt"),
+        $"lane".as("src_lane"),
+        posexplode(Funcs.extractLinksUdf($"url", $"html")).as(Seq("href_idx", "dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val linkRows = linksRaw
+      .withColumn("rn_", row_number().over(
+        Window.partitionBy($"src", $"dst").orderBy($"href_idx")))
+      .filter($"rn_" === 1)
+      .select(vtTs($"src_vt").as("created"), vtTs($"src_vt").as("updated"), $"src", $"dst")
+      .join(linksView.select($"src", $"dst"), Seq("src", "dst"), "left_anti")
+
+    // dst Read-or-Save (url.go:478-486)
+    val dstFirst = linksRaw
+      .withColumn("rn_", row_number().over(
+        Window.partitionBy($"dst").orderBy($"src_seq", $"href_idx")))
+      .filter($"rn_" === 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val dstCreates = dstFirst
+      .join(urlsEff.select($"url".as("dst")), Seq("dst"), "left_anti")
+      .select(newUrlRowCols($"dst", vtTs($"src_vt")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- 8. snapshots (T9): GET-only append
+    val snapshotRows = getOk.select($"url", vtTs($"vt").as("created"),
+      lit(200).as("status"), lit(0L).as("duration"), $"resp_headers".as("headers"),
+      lit("").as("hash"))
+
+    // ---- 9. next-wave enqueues
+    val urlsAfter = urlsEffPlus(urlsEff, getUpdates, headUpdates, dstCreates)
+
+    // enqueueDstLinks (crawler.go:255-292): lanes A and C propagate; B doesn't
+    val linkCands = linksRaw.filter($"src_lane".isin("A", "C"))
+      .withColumn("rn_", row_number().over(
+        Window.partitionBy($"dst").orderBy($"src_seq", $"href_idx")))
+      .filter($"rn_" === 1)
+      .join(urlsAfter.select($"url".as("dst"), $"last_head", $"content_sniff"),
+        Seq("dst"), "left")
+      .withColumn("fetchable", Funcs.isFetchableUdf($"dst"))
+      .withColumn("head_stale", $"last_head".isNull ||
+        unix_timestamp($"last_head") <
+          ($"src_vt".cast("long") + lit(baseEpochSec) - lit(cfg.staleDurationSec)))
+      .filter($"fetchable" && $"head_stale") // ShouldEnqueueHead (url.go:320-322)
+      .withColumn("suspected",
+        Funcs.suspectedContentUdf($"dst", coalesce($"content_sniff", lit(""))))
+      .select($"dst".as("url"),
+        when($"suspected", lit("GET")).otherwise(lit("HEAD")).as("method"),
+        Funcs.hostUdf($"dst").as("host"),
+        when($"suspected", lit("B")).otherwise(lit("A")).as("lane"),
+        $"src_seq".as("ord1"), $"href_idx".cast("long").as("ord2"))
+
+    // HEAD→GET follow-up (crawler.go:236-252)
+    val headFollow = headHtml
+      .join(whitelist, Seq("host"), "left_semi")
+      .join(urlsAfter.select($"url", $"last_get".as("u_last_get")), Seq("url"), "left")
+      .withColumn("get_stale", $"u_last_get".isNull ||
+        unix_timestamp($"u_last_get") <
+          ($"vt".cast("long") + lit(baseEpochSec) - lit(cfg.staleDurationSec)))
+      .filter(Funcs.isFetchableUdf($"url") && $"get_stale") // ShouldEnqueueGet
+      .select($"url", lit("GET").as("method"), $"host", lit("A").as("lane"),
+        $"seq".as("ord1"), lit(-1L).as("ord2"))
+
+    val frontierAfterTake = frontierIn
+      .join(budgeted.select($"url"), Seq("url"), "left_anti")
+      .unionByName(headBlockedRows)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val newEnqueues = linkCands.unionByName(headFollow)
+      .withColumn("rn_", row_number().over(
+        Window.partitionBy($"url").orderBy($"ord1", $"ord2")))
+      .filter($"rn_" === 1)
+      .join(frontierAfterTake.select("url"), Seq("url"), "left_anti") // enqued map check
+      // seq only needs to order within a host (per-host FIFO, T3) — a
+      // per-host window keeps this parallel at any frontier size; a global
+      // row_number here would single-partition the wave
+      .withColumn("seq", lit((w + 1) * SeqStride + EnqueueOffset) +
+        row_number().over(Window.partitionBy($"host").orderBy($"ord1", $"ord2", $"url")).cast("long"))
+      .select($"url", $"method", $"host", $"lane", lit(w + 1).as("wave"), $"seq",
+        lit(StateQueued).as("state"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val frontierOut = frontierAfterTake.unionByName(newEnqueues)
+
+    // ---- 10. host state
+    val takenPerHost = budgeted.groupBy($"host", $"lane")
+      .agg(max($"vt").as("max_vt"))
+    val hostStateTouched = hostPlan
+      .join(takenPerHost, Seq("host", "lane"), "left")
+      .withColumn("last_vt",
+        when($"robots_now" && $"max_vt".isNull, $"start_vt") // only robots ran
+          .otherwise(coalesce($"max_vt", $"start_vt" - $"eff_delay")))
+      .select($"host", $"lane", lit(cfg.polite).as("robots_fetched"),
+        $"eff_robots_txt".as("robots_txt"), $"eff_delay".as("crawl_delay_sec"),
+        ($"last_vt" + $"eff_delay").as("next_fetch_vt"))
+    val hostStateOut = hostState0
+      .join(hostStateTouched.select($"host", $"lane"), Seq("host", "lane"), "left_anti")
+      .unionByName(hostStateTouched)
+
+    // ---- 11. fetch log (crawl-order artifact, O4)
+    val robotsLog = robotsFetched.select(lit(w).as("wave"), $"r_start".as("vt"),
+      $"host", $"lane", lit("GET").as("method"), $"robots_url".as("url"),
+      lit(-1L).as("seq"), when($"robots_found", 200).otherwise(0).as("status"),
+      lit("robots").as("outcome"))
+    val cmdLog = fetched.select(lit(w).as("wave"), $"vt", $"host", $"lane", $"method",
+      $"url", $"seq", when($"found", 200).otherwise(0).as("status"),
+      when($"found", lit("ok")).otherwise(lit("error")).as("outcome"))
+    val disallowedLog = disallowed.select(lit(w).as("wave"), $"vt", $"host", $"lane",
+      $"method", $"url", $"seq", lit(0).as("status"), lit("disallowed").as("outcome"))
+    val fetchLogRows = robotsLog.unionByName(cmdLog).unionByName(disallowedLog)
+
+    // ---- 12. stage, lineage, atomic commit
+    val urlAppends = withMor(seedCreates, w, 1)
+      .unionByName(withMor(getUpdates, w, 2))
+      .unionByName(withMor(headUpdates, w, 2))
+      .unionByName(withMor(dstCreates, w, 1))
+
+    val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def stage(table: String, df: DataFrame, append: Boolean): Unit = {
+      val v = if (append) store.stageAppend(table, df) else store.stageRewrite(table, df)
+      staged += (table -> v)
+    }
+    stage("urls", urlAppends, append = true)
+    stage("links", linkRows, append = true)
+    stage("snapshots", snapshotRows, append = true)
+    stage("fetch_log", fetchLogRows, append = true)
+    stage("frontier", frontierOut, append = false)
+    stage("host_state", hostStateOut, append = false)
+    if (doSeed) stage("whitelist", whitelist, append = false)
+
+    // per-partition lineage of the committed files (T10 resumability evidence)
+    val lineageDF = staged.toSeq.map { case (t, v) =>
+      spark.read.parquet(store.versionPath(t, v))
+        .groupBy(spark_partition_id().as("partition_id")).agg(count(lit(1)).as("rows"))
+        .withColumn("wave", lit(w)).withColumn("table", lit(t))
+        .withColumn("version", lit(v))
+        .select("wave", "table", "partition_id", "rows", "version")
+    }.reduceOption(_ unionByName _)
+      .getOrElse(emptyDF[LineageRow])
+    store.stageAppend("lineage", lineageDF)
+
+    val takenCount = budgeted.count()
+    val okCount = fetched.filter($"found").count()
+    val enqCount = newEnqueues.count()
+    val depth = frontierOut.filter($"state" === StateQueued).count()
+
+    store.commitWave(w)
+
+    Seq(urls0, frontierIn, robotsFetched, budgeted, fetched, getOk, headHtml,
+      getUpdates, headUpdates, linksRaw, dstFirst, dstCreates, frontierAfterTake,
+      newEnqueues, whitelist)
+      .foreach(df => try df.unpersist() catch { case _: Throwable => () })
+
+    WaveStats(w, takenCount, okCount, enqCount, depth)
+  }
+
+  // -------------------------------------------------------------- run loops
+
+  /** Run waves until the frontier drains (quiescent mode) or maxWaves. */
+  def run(maxWaves: Int): Seq[WaveStats] = {
+    val stats = scala.collection.mutable.ArrayBuffer.empty[WaveStats]
+    var w = store.currentWave + 1
+    var continue = true
+    while (continue && w < maxWaves) {
+      val s = runWave(w)
+      stats += s
+      if (s.frontierDepth == 0 && s.taken == 0 && s.enqueued == 0 && w > 0) continue = false
+      w += 1
+    }
+    stats.toSeq
+  }
+
+  /** POST /que equivalent (handlers.go:59-108): seed one url into lane C. */
+  def seedUrl(url: String): Unit = {
+    val w = store.currentWave + 1
+    val row = Seq((url, "GET", GoUrl.hostOf(url), "C", w, w * SeqStride + 1L, StateQueued))
+      .toDF("url", "method", "host", "lane", "wave", "seq", "state")
+    val f = frontierDF.join(row.select("url"), Seq("url"), "left_anti").unionByName(row)
+    store.stageRewrite("frontier", f)
+    store.commitWave(store.currentWave)
+  }
+
+  /** Compact MOR tables (Iceberg rewrite_data_files equivalent). */
+  def compactTables(): Unit = {
+    store.compact("urls", urlsView
+      .withColumn("w_wave", lit(store.currentWave)).withColumn("w_prio", lit(2)))
+    store.compact("links", linksView)
+    store.compact("snapshots", snapshotsView)
+    store.commitWave(store.currentWave)
+  }
+
+  // -------------------------------------------------------------- helpers
+
+  private val sniffUnwanted: Seq[String] =
+    graft.functions.Sniff.unwantedMimetypes.toSeq.sorted
+
+  private def fileNameCol(urlCol: Column): Column = {
+    // HandleGetResponse filename branch (url.go:196-211): ext must be in the
+    // ffi whitelist and not a notContent extension
+    val fname = Funcs.filenameUdf(urlCol)
+    val ext = Funcs.extUdf(urlCol)
+    when(Funcs.extMimeUdf(ext).isNotNull &&
+      !ext.isin(graft.functions.Sniff.notContentExtensions.toSeq.sorted: _*) && ext =!= "",
+      fname).otherwise(lit(null))
+  }
+
+  /** Fresh UrlRow columns (dst Read-or-Save create, url.go:432-436). */
+  private def newUrlRowCols(urlCol: Column, ts: Column): Seq[Column] = Seq(
+    urlCol.as("url"), ts.as("created"), ts.as("updated"),
+    lit(null).cast("timestamp").as("last_head"), lit(null).cast("timestamp").as("last_get"),
+    lit(0).as("status"), lit("").as("content_type"), lit("").as("content_sniff"),
+    lit(0L).as("content_length"), lit("").as("file_name"), lit("").as("title"),
+    Funcs.urlIdUdf(urlCol).as("id"), lit(0).as("headers_took"), lit(0).as("download_took"),
+    array().cast("array<string>").as("headers"),
+    map().cast("map<string,string>").as("meta"), lit("").as("hash"))
+
+  private def emptyUrlRows: DataFrame = {
+    import Model._
+    emptyDF[UrlRow]
+  }
+
+  private def withMor(df: DataFrame, w: Long, prio: Int): DataFrame =
+    df.withColumn("w_wave", lit(w)).withColumn("w_prio", lit(prio))
+
+  /** urls state visible to same-wave reads: base ∪ this wave's writes. */
+  private def urlsEffPlus(urlsEff: DataFrame, getUpd: DataFrame,
+      headUpd: DataFrame, creates: DataFrame): DataFrame = {
+    val all = urlsEff.withColumn("p_", lit(0))
+      .unionByName(getUpd.withColumn("p_", lit(2)))
+      .unionByName(headUpd.withColumn("p_", lit(2)))
+      .unionByName(creates.withColumn("p_", lit(1)))
+    val w = Window.partitionBy("url").orderBy(desc("p_"))
+    all.withColumn("rn_", row_number().over(w)).filter(col("rn_") === 1)
+      .drop("rn_", "p_")
+  }
+}
+
+/** Per-executor robots parse cache keyed by content (P8). */
+object RobotsCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Robots.RobotsData]()
+  def get(txt: String): Robots.RobotsData = {
+    var d = cache.get(txt)
+    if (d == null) {
+      d = Robots.parse(txt)
+      if (cache.size() < 10000) cache.put(txt, d)
+    }
+    d
+  }
+}

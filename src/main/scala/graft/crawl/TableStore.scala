@@ -1,0 +1,143 @@
+package graft.crawl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Versioned parquet table store with atomic snapshot commits.
+  *
+  * The design target is an Iceberg catalog (CREATE TABLE / MERGE INTO /
+  * snapshot isolation — SURVEY §2.1 S10, §4.2); this sandbox ships no Iceberg
+  * runtime jar, so the same semantics are provided by a minimal
+  * snapshot-versioned layout that an Iceberg catalog can replace 1:1:
+  *
+  *   root/<table>/v<N>/part-*.parquet     — immutable data versions
+  *   root/_manifest.json                  — atomic pointer {table -> version, wave}
+  *
+  * A "commit" writes new version directories for every table touched by a
+  * wave, then swaps the manifest via temp-file + atomic rename — so a killed
+  * job always resumes from the last complete wave with identical state
+  * (north_rule resumability). Append-only tables (snapshots, links, fetch_log,
+  * lineage) append a new version containing only the delta and are read as the
+  * union of all committed versions (merge-on-read, like Iceberg's append
+  * manifests); mutable state tables (frontier, host_state) rewrite.
+  *
+  * The `urls` table is append-mostly with latest-row-wins merge-on-read
+  * (Iceberg MOR equivalent): each wave appends full replacement rows and the
+  * read view keeps max-wave per url. At 10^10 urls this is the layout that
+  * scales — O(delta) write per wave instead of O(table) — with periodic
+  * compaction bounding read amplification.
+  */
+final class TableStore(spark: SparkSession, rootDir: String) {
+
+  private val root: Path = Paths.get(rootDir)
+  Files.createDirectories(root)
+
+  private val manifestPath = root.resolve("_manifest.json")
+
+  /** table -> committed versions (ascending). */
+  @volatile private var committed: Map[String, Seq[Long]] = readManifest()
+  @volatile private var pendingVersions: Map[String, Seq[Long]] = committed
+  @volatile var currentWave: Long = readWave()
+
+  private def readManifestJson(): Option[String] =
+    if (Files.exists(manifestPath))
+      Some(new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8))
+    else None
+
+  private def readManifest(): Map[String, Seq[Long]] =
+    readManifestJson() match {
+      case None => Map.empty
+      case Some(json) =>
+        // tiny hand-rolled parse of {"wave":N,"tables":{"t":[1,2],...}}
+        val tablesPart = json.split("\"tables\":", 2)
+        if (tablesPart.length < 2) Map.empty
+        else {
+          val entry = "\"([^\"]+)\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
+          entry.findAllMatchIn(tablesPart(1)).map { m =>
+            val vs = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+            m.group(1) -> vs
+          }.toMap
+        }
+    }
+
+  private def readWave(): Long =
+    readManifestJson() match {
+      case None => -1L
+      case Some(json) =>
+        "\"wave\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(json).map(_.group(1).toLong).getOrElse(-1L)
+    }
+
+  def versionPath(table: String, version: Long): String =
+    tableDir(table, version).toString
+
+  private def tableDir(table: String, version: Long): Path =
+    root.resolve(table).resolve(f"v$version%06d")
+
+  def exists(table: String): Boolean = committed.get(table).exists(_.nonEmpty)
+
+  private def tryRead(paths: Seq[String]): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(paths: _*)
+      Some(df)
+    } catch {
+      // a committed version can be schema-less when the delta was empty
+      // (parquet dir with only _SUCCESS) — treat as absent
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
+
+  /** Read the union of all committed versions (append-only tables). */
+  def readAppendOnly(table: String): Option[DataFrame] = {
+    val versions = committed.getOrElse(table, Nil)
+    if (versions.isEmpty) None
+    else tryRead(versions.map(v => tableDir(table, v).toString))
+  }
+
+  /** Read only the newest committed version (rewrite tables). */
+  def readLatest(table: String): Option[DataFrame] = {
+    val versions = committed.getOrElse(table, Nil)
+    versions.lastOption.flatMap(v => tryRead(Seq(tableDir(table, v).toString)))
+  }
+
+  /** Stage an append (new delta version). Data is durable immediately but
+    * only becomes visible once commitWave() swaps the manifest. */
+  def stageAppend(table: String, df: DataFrame): Long = {
+    val next = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
+    df.write.mode("overwrite").parquet(tableDir(table, next).toString)
+    pendingVersions = pendingVersions.updated(table, pendingVersions.getOrElse(table, Nil) :+ next)
+    next
+  }
+
+  /** Stage a full rewrite (replaces all prior versions on commit). */
+  def stageRewrite(table: String, df: DataFrame): Long = {
+    val next = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
+    df.write.mode("overwrite").parquet(tableDir(table, next).toString)
+    pendingVersions = pendingVersions.updated(table, Seq(next))
+    next
+  }
+
+  /** Atomically publish all staged versions as wave `wave`. */
+  def commitWave(wave: Long): Unit = {
+    val tables = pendingVersions.map { case (t, vs) =>
+      s""""$t":[${vs.mkString(",")}]"""
+    }.mkString(",")
+    val json = s"""{"wave":$wave,"tables":{$tables}}"""
+    val tmp = root.resolve(s"_manifest.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    committed = pendingVersions
+    currentWave = wave
+  }
+
+  /** Drop uncommitted staged state (resume path). */
+  def resetPending(): Unit = { pendingVersions = committed }
+
+  /** Compact an append-only/MOR table: materialize `view` as a single new
+    * version and drop history (Iceberg rewrite_data_files equivalent). */
+  def compact(table: String, view: DataFrame): Unit = {
+    val next = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
+    view.write.mode("overwrite").parquet(tableDir(table, next).toString)
+    pendingVersions = pendingVersions.updated(table, Seq(next))
+  }
+}

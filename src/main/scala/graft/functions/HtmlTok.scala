@@ -1,0 +1,203 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal HTML5 tokenizer for link/title extraction.
+  *
+  * The reference extracts links by selecting every element with an `href`
+  * attribute in document order (goquery `doc.Find("[href]")`,
+  * /root/reference/vendor/github.com/datatogether/core/url.go:466-508) and the
+  * page title via `doc.Find("title").Text()` (core/url.go:188-195). This is a
+  * from-scratch tokenizer implementing the WHATWG HTML tokenization states we
+  * need: tags with quoted/unquoted attributes, comments (incl. conditional
+  * comments), doctype, RAWTEXT (script/style) and RCDATA (title/textarea)
+  * content, and character-reference decoding in attribute values and RCDATA.
+  *
+  * Correctness-critical behaviors pinned by the reference's fixture site
+  * (/root/reference/static/index.html, crawler_test.go:27-44):
+  *  - urls inside attribute *values* (meta content="...<a href=...>") are NOT
+  *    elements and must not be extracted;
+  *  - entity-escaped markup (&lt;a href=...&gt;) is text, not an element;
+  *  - <link href> counts, <img src>/<script src> do not (only `href`);
+  *  - markup inside <!--[if lt IE 9]> ... <![endif]--> is comment content.
+  */
+object HtmlTok {
+
+  final case class Tag(name: String, attrs: List[(String, String)], closing: Boolean)
+
+  private val namedEntities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "mdash" -> "—", "ndash" -> "–", "hellip" -> "…",
+    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+    "rdquo" -> "”", "trade" -> "™", "deg" -> "°",
+    "plusmn" -> "±", "frac12" -> "½", "times" -> "×",
+    "divide" -> "÷", "euro" -> "€", "pound" -> "£",
+    "yen" -> "¥", "cent" -> "¢", "sect" -> "§",
+    "para" -> "¶", "middot" -> "·", "laquo" -> "«",
+    "raquo" -> "»", "iquest" -> "¿", "szlig" -> "ß",
+    "agrave" -> "à", "aacute" -> "á", "eacute" -> "é",
+    "egrave" -> "è", "ccedil" -> "ç", "ntilde" -> "ñ",
+    "ouml" -> "ö", "uuml" -> "ü", "auml" -> "ä")
+
+  /** Decode HTML character references (named subset + numeric). */
+  def decodeEntities(s: String): String = {
+    if (!s.contains('&')) return s
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 32) {
+          val body = s.substring(i + 1, semi)
+          val decoded: Option[String] =
+            if (body.startsWith("#x") || body.startsWith("#X")) {
+              try Some(new String(Character.toChars(Integer.parseInt(body.substring(2), 16))))
+              catch { case _: Exception => None }
+            } else if (body.startsWith("#")) {
+              try Some(new String(Character.toChars(Integer.parseInt(body.substring(1)))))
+              catch { case _: Exception => None }
+            } else namedEntities.get(body)
+          decoded match {
+            case Some(d) => out.append(d); i = semi + 1
+            case None    => out.append(c); i += 1
+          }
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+
+  private def isLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def asciiLower(c: Char): Char =
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+
+  /** ASCII-case-insensitive indexOf (needle must be lowercase ASCII). */
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val hn = hay.length; val nn = needle.length
+    var i = from
+    while (i + nn <= hn) {
+      var j = 0
+      while (j < nn && asciiLower(hay.charAt(i + j)) == needle.charAt(j)) j += 1
+      if (j == nn) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Tokenize html into tags + RCDATA text callbacks.
+    * onTag fires per tag in document order; onRcdataText fires with the
+    * decoded text content of title elements.
+    */
+  def tokenize(html: String, onTag: Tag => Unit, onTitleText: String => Unit): Unit = {
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) return
+      i = lt
+      if (i + 1 >= n) return
+      val c1 = html.charAt(i + 1)
+      if (c1 == '!') {
+        if (html.startsWith("<!--", i)) {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else { // doctype / bogus
+          val end = html.indexOf('>', i)
+          i = if (end < 0) n else end + 1
+        }
+      } else if (c1 == '?') { // bogus comment (processing instruction)
+        val end = html.indexOf('>', i)
+        i = if (end < 0) n else end + 1
+      } else if (c1 == '/' || isLetter(c1)) {
+        val closing = c1 == '/'
+        var j = if (closing) i + 2 else i + 1
+        val nameStart = j
+        while (j < n && !isSpace(html.charAt(j)) && html.charAt(j) != '>' && html.charAt(j) != '/')
+          j += 1
+        val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+        if (name.isEmpty) { i += 1 }
+        else {
+          val attrs = ArrayBuffer.empty[(String, String)]
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          var done = false
+          while (!done && j < n) {
+            while (j < n && (isSpace(html.charAt(j)) || html.charAt(j) == '/')) j += 1
+            if (j >= n) done = true
+            else if (html.charAt(j) == '>') { j += 1; done = true }
+            else {
+              // attribute name
+              val as = j
+              while (j < n && !isSpace(html.charAt(j)) && html.charAt(j) != '=' &&
+                     html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
+              val aname = html.substring(as, j).toLowerCase(java.util.Locale.ROOT)
+              while (j < n && isSpace(html.charAt(j))) j += 1
+              var avalue = ""
+              if (j < n && html.charAt(j) == '=') {
+                j += 1
+                while (j < n && isSpace(html.charAt(j))) j += 1
+                if (j < n) {
+                  val q = html.charAt(j)
+                  if (q == '"' || q == '\'') {
+                    j += 1
+                    val vs = j
+                    while (j < n && html.charAt(j) != q) j += 1
+                    avalue = html.substring(vs, math.min(j, n))
+                    if (j < n) j += 1
+                  } else {
+                    val vs = j
+                    while (j < n && !isSpace(html.charAt(j)) && html.charAt(j) != '>') j += 1
+                    avalue = html.substring(vs, j)
+                  }
+                }
+              }
+              if (aname.nonEmpty && seen.add(aname))
+                attrs += (aname -> decodeEntities(avalue))
+            }
+          }
+          i = j
+          onTag(Tag(name, attrs.toList, closing))
+          if (!closing) {
+            // RAWTEXT / RCDATA content handling
+            if (name == "script" || name == "style") {
+              val end = indexOfIgnoreCase(html, "</" + name, i)
+              i = if (end < 0) n else end
+            } else if (name == "title" || name == "textarea") {
+              val end = indexOfIgnoreCase(html, "</" + name, i)
+              val stop = if (end < 0) n else end
+              if (name == "title") onTitleText(decodeEntities(html.substring(i, stop)))
+              i = stop
+            }
+          }
+        }
+      } else {
+        i += 1 // stray '<' is text
+      }
+    }
+  }
+
+  /** All href attribute values in document order (goquery Find("[href]")). */
+  def extractHrefs(html: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    tokenize(html, tag => {
+      if (!tag.closing) tag.attrs.find(_._1 == "href").foreach(out += _._2)
+    }, _ => ())
+    out.toSeq
+  }
+
+  /** Concatenated text of all <title> elements (goquery Find("title").Text()). */
+  def extractTitle(html: String): String = {
+    val sb = new StringBuilder
+    tokenize(html, _ => (), t => sb.append(t))
+    sb.toString
+  }
+
+  def bytesToString(body: Array[Byte]): String =
+    if (body == null) "" else new String(body, java.nio.charset.StandardCharsets.UTF_8)
+}

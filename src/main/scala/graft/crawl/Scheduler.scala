@@ -134,7 +134,10 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     val staleBefore = nowSec - cfg.staleDurationSec
 
     val frontier0 = frontierDF
-    val urls0 = urlsView.persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint truncates the logical plan: the MOR view and the wave's
+    // reused intermediates otherwise re-nest into each other (urlsEff appears
+    // 4x inside urlsAfter), exploding plan size exponentially across reuse
+    val urls0 = urlsView.localCheckpoint()
     val hostState0 = hostStateDF
     val queuedCount = frontier0.filter($"state" === StateQueued).count() // A10 gauge
 
@@ -195,7 +198,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       (emptyDF[FrontierRow], emptyUrlRows, wl)
     }
 
-    val frontierIn = frontier0.unionByName(seedRows).persist(StorageLevel.MEMORY_AND_DISK)
+    val frontierIn = frontier0.unionByName(seedRows).localCheckpoint()
 
     // ---- 2. politeness budget + robots plan (T4/T5)
     val queued = frontierIn.filter($"state" === StateQueued)
@@ -260,7 +263,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       .withColumn("content_type",
         when($"found", Funcs.contentTypeUdf($"url", $"html")).otherwise(lit("")))
       .withColumn("ct_base", trim(split($"content_type", ";").getItem(0)))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // ---- 5. response handlers (P12 mux)
     val getOk = fetched.filter($"method" === "GET" && $"found")
@@ -273,7 +276,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
           .otherwise(lit(null)))
       .withColumn("resp_headers", array(lit("Content-Length"), $"body_len".cast("string"),
         lit("Content-Type"), $"content_type"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     val headOk = fetched.filter($"method" === "HEAD" && $"found")
     // only text/html HEAD responses have a handler (crawler.go:79-116)
@@ -302,7 +305,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         col("u.id").as("id"), lit(0).as("headers_took"), lit(0).as("download_took"),
         col("g.resp_headers").as("headers"), col("u.meta").as("meta"),
         col("u.hash").as("hash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     val headUpdates = headHtml.alias("g")
       .join(urlsEff.alias("u"), col("g.url") === col("u.url"), "inner")
@@ -315,7 +318,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         col("u.id").as("id"), lit(0).as("headers_took"), lit(0).as("download_took"),
         col("g.resp_headers").as("headers"), col("u.meta").as("meta"),
         col("u.hash").as("hash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // ---- 7. link extraction (F9) — HandleGetResponse stores links for every
     // doc GET in all lanes (content_crawler only skips the *enqueue*)
@@ -323,7 +326,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       .select($"url".as("src"), $"seq".as("src_seq"), $"vt".as("src_vt"),
         $"lane".as("src_lane"),
         posexplode(Funcs.extractLinksUdf($"url", $"html")).as(Seq("href_idx", "dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     val linkRows = linksRaw
       .withColumn("rn_", row_number().over(
@@ -342,7 +345,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     val dstCreates = dstFirst
       .join(urlsEff.select($"url".as("dst")), Seq("dst"), "left_anti")
       .select(newUrlRowCols($"dst", vtTs($"src_vt")): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // ---- 8. snapshots (T9): GET-only append
     val snapshotRows = getOk.select($"url", vtTs($"vt").as("created"),

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-scale training-data deduplication operators over a `documents`
+  * table (doc_id long, text string, ...).
+  *
+  * All hash families are deterministic (splitmix64-derived) so results are
+  * identical at any parallelism. Scale design: every operator is a
+  * shuffle-on-key pipeline — shingle/signature explode → band bucket →
+  * within-bucket self-join — the standard MinHash-LSH layout that holds at
+  * 100 TB because bucket sizes, not table sizes, bound the join fan-out.
+  */
+object Dedup {
+
+  @inline private def mix(seed: Long, i: Long): Long = {
+    var z = seed + i * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d9eecb0b2b6e3bL
+    z ^ (z >>> 31)
+  }
+
+  private def tokenHash(s: String): Long = {
+    // FNV-1a 64 over UTF-8 — stable across JVMs (String.hashCode is 32-bit)
+    var h = 0xcbf29ce484222325L
+    val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bs.length) { h ^= (bs(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** word k-shingle hashes of a text (distinct). */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (toks.length < k) {
+      if (toks.isEmpty) Array.empty else Array(tokenHash(toks.mkString(" ")))
+    } else {
+      val out = new scala.collection.mutable.HashSet[Long]
+      var i = 0
+      while (i + k <= toks.length) {
+        out += tokenHash(toks.slice(i, i + k).mkString(" "))
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** MinHash signature: numHashes permutations h_i(x) = mix(i, x). */
+  def minhashSignature(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val sh = shingleHashes(text, k)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      var j = 0
+      while (j < numHashes) {
+        val v = mix(j + 1L, sh(i))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over word-level token hashes. */
+  def simhash64(text: String): Long = {
+    if (text == null) return 0L
+    val counts = new Array[Int](64)
+    text.toLowerCase.split("\\W+").filter(_.nonEmpty).foreach { t =>
+      val h = tokenHash(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Exact n-gram Jaccard between two texts. */
+  def jaccard(a: String, b: String, k: Int): Double = {
+    val sa = shingleHashes(a, k).toSet
+    val sb = shingleHashes(b, k).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  private val minhashUdf = udf((t: String, k: Int, n: Int) => minhashSignature(t, k, n))
+  private val simhashUdf = udf((t: String) => simhash64(t))
+  private val jaccardUdf = udf((a: String, b: String, k: Int) => jaccard(a, b, k))
+
+  /** Exact dedup by content hash: one row per distinct text with the kept
+    * (minimum) doc_id and the duplicate count — the hash-groupBy layout
+    * (map-side partial agg, single shuffle on the 64-hex key). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sha2(col("text").cast("binary"), 256).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash-LSH near-duplicate candidate pairs.
+    * shingle → minhash(numHashes) → band (bands × rowsPerBand) → bucket join.
+    * Returns (a_id, b_id, est_jaccard) with a_id < b_id, deduped.
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 64,
+      bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
+    val rowsPer = numHashes / bands
+    val sigs = docs.select(col("doc_id"), col("text"),
+      minhashUdf(col("text"), lit(k), lit(numHashes)).as("sig"))
+
+    // band key = hash of the band's slice — explode to (band, bucket, doc)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        hash(slice(col("sig"), b * rowsPer + 1, rowsPer), b).cast("long")))
+        .as(Seq("band", "bucket")))
+
+    val pairs = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("a_id", "b_id")
+
+    pairs.withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), lit(0),
+          (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit chunk banding guarantees recall for
+    * hamming distance <= 3 (pigeonhole), then exact hamming filter. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhashUdf(col("text")).as("sim"))
+    val banded = sigs.select(col("doc_id"), col("sim"),
+      posexplode(transform(sequence(lit(0), lit(3)), b =>
+        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))))
+        .as(Seq("band", "chunk")))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Exact n-gram Jaccard verification of candidate pairs (the re-rank stage
+    * after LSH; joins texts back by id — two broadcast-or-shuffle hash joins). */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, k: Int = 5,
+      minJaccard: Double = 0.8): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"))
+    pairs
+      .join(t.select(col("doc_id").as("a_id"), col("text").as("text_a")), Seq("a_id"))
+      .join(t.select(col("doc_id").as("b_id"), col("text").as("text_b")), Seq("b_id"))
+      .withColumn("jaccard", jaccardUdf(col("text_a"), col("text_b"), lit(k)))
+      .filter(col("jaccard") >= minJaccard)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Embedding cosine near-dup pairs via deterministic hyperplane LSH
+    * bucketing (no UDF in the dot products — functions.zip_with/aggregate). */
+  def embeddingDupPairs(emb: DataFrame, dim: Int, planes: Int = 12,
+      minCosine: Double = 0.95, seed: Long = 7L): DataFrame = {
+    val sigCol = Similarity.hyperplaneSig(col("embedding"), dim, planes, seed)
+    val sigs = emb.select(col("vec_id"), col("embedding"), sigCol.as("bucket"))
+    val pairs = sigs.alias("a").join(sigs.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+    pairs.withColumn("cosine", Similarity.cosineCol(col("ea"), col("eb")))
+      .filter(col("cosine") >= minCosine)
+      .select("a_id", "b_id", "cosine")
+  }
+}

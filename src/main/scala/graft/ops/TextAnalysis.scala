@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`. */
+object TextAnalysis {
+
+  // ------------------------------------------------------------ language id
+
+  /** tiny stopword profiles — deterministic n-gram-free heuristic langid. */
+  private val profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+      "with", "as", "his", "on", "be", "at", "by", "had", "are", "this"),
+    "de" -> Set("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "auf",
+      "sich", "des", "dem", "den", "von", "zu", "im", "für", "als", "auch", "es"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans",
+      "que", "qui", "pour", "pas", "sur", "avec", "au", "par", "plus", "ce"),
+    "es" -> Set("el", "la", "los", "las", "de", "y", "que", "en", "un", "una",
+      "es", "no", "por", "con", "para", "se", "del", "al", "como", "más"),
+    "it" -> Set("il", "la", "di", "che", "e", "un", "una", "per", "non", "con",
+      "del", "le", "si", "da", "come", "anche", "nel", "alla", "più", "sono"))
+
+  def detectLanguage(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty).take(500)
+    if (toks.isEmpty) return "und"
+    var best = "und"; var bestScore = 0
+    profiles.foreach { case (lang, stops) =>
+      val score = toks.count(stops.contains)
+      if (score > bestScore) { best = lang; bestScore = score }
+    }
+    if (bestScore * 20 < toks.length) "und" else best // need >= 5% stopword mass
+  }
+
+  val langIdUdf = udf((t: String) => detectLanguage(t))
+
+  def withLanguage(docs: DataFrame): DataFrame =
+    docs.withColumn("lang_detected", langIdUdf(col("text")))
+
+  // ------------------------------------------------------------ tokens
+
+  /** whitespace token count — pure built-ins, identical SQL exists for the
+    * oracle: length-based to avoid regex dialect drift. */
+  def tokenCountCol(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword segment count: word-piece boundaries at letter/digit/
+    * punctuation class changes (a GPT-2-style pre-tokenizer regex). */
+  val bpeishCountUdf = udf { (t: String) =>
+    if (t == null) 0L
+    else "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]+|\\s+".r.findAllIn(t).count(_.trim.nonEmpty).toLong
+  }
+
+  // ------------------------------------------------------------ quality
+
+  /** Quality signals with exact SQL twins (length arithmetic only):
+    * n_chars, token count, mean token length, space ratio. */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val chars = length(t).cast("long")
+    val spaces = (length(t) - length(replace(t, lit(" "), lit("")))).cast("long")
+    val toks = tokenCountCol(t)
+    docs.select(col("doc_id"), chars.as("n_chars_c"), toks.as("n_tokens"),
+      spaces.as("n_spaces"),
+      when(toks > 0, round(chars.cast("double") / toks, 4)).otherwise(lit(0.0))
+        .as("mean_tok_len"))
+  }
+
+  /** Composite quality score (heuristic; UDF-free). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val s = qualitySignals(docs)
+    s.withColumn("quality",
+      round(
+        when(col("n_tokens") >= 10, lit(0.5)).otherwise(lit(0.0)) +
+        when(col("mean_tok_len").between(3.0, 12.0), lit(0.3)).otherwise(lit(0.0)) +
+        when(col("n_chars_c") >= 100, lit(0.2)).otherwise(lit(0.0)), 2))
+  }
+
+  // ------------------------------------------------------------ fingerprint
+
+  /** Rolling-hash (Rabin-Karp window) document fingerprint: min of window
+    * hashes — a winnowing-style content id robust to small edits. */
+  def fingerprint(text: String, window: Int = 16): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val bs = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bs.length <= window) {
+      var h = 0xcbf29ce484222325L
+      bs.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      return h
+    }
+    val B = 257L
+    var pow = 1L
+    (1 until window).foreach(_ => pow *= B)
+    var h = 0L
+    var minH = Long.MaxValue
+    var i = 0
+    while (i < bs.length) {
+      h = h * B + (bs(i) & 0xffL)
+      if (i >= window) h -= pow * B * (bs(i - window) & 0xffL)
+      if (i >= window - 1) {
+        val m = h * 0x9e3779b97f4a7c15L // finalize for spread
+        if (m < minH) minH = m
+      }
+      i += 1
+    }
+    minH
+  }
+
+  val fingerprintUdf = udf((t: String) => fingerprint(t))
+}

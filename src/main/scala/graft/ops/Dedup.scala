@@ -117,10 +117,13 @@ object Dedup {
       minhashUdf(col("text"), lit(k), lit(numHashes)).as("sig"))
 
     // band key = hash of the band's slice — explode to (band, bucket, doc)
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        hash(slice(col("sig"), b * rowsPer + 1, rowsPer), b).cast("long")))
-        .as(Seq("band", "bucket")))
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * rowsPer + 1, rowsPer), lit(b)).cast("long")
+          .as("bucket"))): _*)
+    val banded = sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("bc"))
+      .select(col("doc_id"), col("sig"), col("bc.band").as("band"),
+        col("bc.bucket").as("bucket"))
 
     val pairs = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -141,10 +144,12 @@ object Dedup {
     * hamming distance <= 3 (pigeonhole), then exact hamming filter. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhashUdf(col("text")).as("sim"))
-    val banded = sigs.select(col("doc_id"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(3)), b =>
-        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))))
-        .as(Seq("band", "chunk")))
+    val chunkStructs = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)
+    val banded = sigs.select(col("doc_id"), col("sim"), explode(chunkStructs).as("bc"))
+      .select(col("doc_id"), col("sim"), col("bc.band").as("band"),
+        col("bc.chunk").as("chunk"))
     banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -118,6 +118,7 @@ object Fixtures {
       outDegree: Int = 8,
       contentFraction: Double = 0.1, // .csv/.pdf content urls (content lane B)
       crossHostFraction: Double = 0.2,
+      fillerParagraphs: Int = 24,    // body text mass (~Common-Crawl-ish pages)
       seed: Long = 42L)
 
   def hostName(h: Int): String = f"host$h%04d.example.com"
@@ -142,6 +143,18 @@ object Fixtures {
       val target = pageUrl(cfg, th, tp)
       sb.append(s"""<a href="$target">link $k</a>\n""")
       k += 1
+    }
+    var f = 0
+    while (f < cfg.fillerParagraphs) {
+      val r = mix(cfg.seed, (h.toLong * 1000003L + p) * 977L + f)
+      sb.append("<p>paragraph ").append(f).append(' ')
+      var wTok = 0
+      while (wTok < 18) {
+        sb.append("word").append(((r >>> (wTok % 48)) & 0x3ff)).append(' ')
+        wTok += 1
+      }
+      sb.append("</p>\n")
+      f += 1
     }
     sb.append("</body></html>\n")
     sb.toString

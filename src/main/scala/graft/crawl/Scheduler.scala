@@ -18,6 +18,9 @@ final case class CrawlConfig(
     seedUrlsRefill: Int = 400,   // crawler.go:150
     lowWatermark: Int = 100,     // crawler.go:147
     quiescent: Boolean = true,   // gate re-seeds on staleness so batch runs terminate
+    useBloomPrefilter: Boolean = true, // A9: bloom URL-seen prefilter ahead of the exact anti-join
+    bloomExpectedItems: Long = 1L << 20,
+    bloomFpp: Double = 0.01,
     compactEvery: Int = 16)
 
 /** The crawl scheduler: sentry's three-fetcher pipeline
@@ -139,6 +142,19 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // 4x inside urlsAfter), exploding plan size exponentially across reuse
     val urls0 = urlsView.localCheckpoint()
     val hostState0 = hostStateDF
+
+    // URL-seen bloom (A9): load the checkpointed filter; if the state has
+    // urls but no filter (e.g. resume from a pre-bloom snapshot), rebuild it
+    // from the urls table — the documented restart path (SURVEY §7.4.6)
+    val seenBloom: Option[Bloom] =
+      if (!cfg.useBloomPrefilter) None
+      else store.readLatest("seen_bloom") match {
+        case Some(df) =>
+          Some(Bloom.deserialize(df.select("bloom").head().getAs[Array[Byte]](0)))
+        case None if store.exists("urls") =>
+          Some(Bloom.build(spark, urls0, "url", cfg.bloomExpectedItems, cfg.bloomFpp))
+        case None => Some(Bloom.create(cfg.bloomExpectedItems, cfg.bloomFpp))
+      }
     val queuedCount = frontier0.filter($"state" === StateQueued).count() // A10 gauge
 
     // ---- 1. seeding (crawler.go:139-153)
@@ -342,8 +358,24 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       .filter($"rn_" === 1)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val dstCreates = dstFirst
-      .join(urlsEff.select($"url".as("dst")), Seq("dst"), "left_anti")
+    // URL-seen check (J8/A9): bloom prefilter over the committed urls table —
+    // candidates the bloom rejects are definitely new (no false negatives)
+    // and skip the exact probe; only "maybe seen" pays the anti-join. The
+    // same-wave seedCreates delta (not yet in the bloom) is always checked.
+    val dstNotSeeded = dstFirst
+      .join(seedCreates.select($"url".as("dst")), Seq("dst"), "left_anti")
+    val dstNew = seenBloom match {
+      case Some(bloom) if cfg.useBloomPrefilter =>
+        val hit = Bloom.mightContainCol(spark, bloom, $"dst")
+        val tagged = dstNotSeeded.withColumn("bloom_hit", hit)
+        val definitelyNew = tagged.filter(!$"bloom_hit")
+        val maybeSeen = tagged.filter($"bloom_hit")
+          .join(urls0.select($"url".as("dst")), Seq("dst"), "left_anti")
+        definitelyNew.unionByName(maybeSeen).drop("bloom_hit")
+      case _ =>
+        dstNotSeeded.join(urls0.select($"url".as("dst")), Seq("dst"), "left_anti")
+    }
+    val dstCreates = dstNew
       .select(newUrlRowCols($"dst", vtTs($"src_vt")): _*)
       .localCheckpoint()
 
@@ -452,6 +484,17 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     stage("frontier", frontierOut, append = false)
     stage("host_state", hostStateOut, append = false)
     if (doSeed) stage("whitelist", whitelist, append = false)
+
+    // merge this wave's new urls into the seen bloom and checkpoint it
+    // (dstCreates is already materialized, so the prefilter broadcast above
+    // saw the pre-merge filter — ordering is safe)
+    seenBloom.foreach { bloom =>
+      val newUrls = seedCreates.select("url").unionByName(dstCreates.select("url"))
+      val delta = Bloom.build(spark, newUrls, "url", cfg.bloomExpectedItems, cfg.bloomFpp)
+      val merged = bloom.mergeInPlace(delta)
+      stage("seen_bloom",
+        Seq((w, merged.serialize)).toDF("wave", "bloom"), append = false)
+    }
 
     // per-partition lineage of the committed files (T10 resumability evidence)
     val lineageDF = staged.toSeq.map { case (t, v) =>

@@ -1,0 +1,164 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near dup
+    (3L, "completely different content about apache spark distributed joins and shuffles"),
+    (4L, "another unrelated snippet mentioning minhash signatures and banding")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length == 4) // 0 and 1 collapse
+    val dup = g.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated") {
+    val pairs = Dedup.minhashPairs(docs, k = 3, numHashes = 64, bands = 16,
+      minEstJaccard = 0.4).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 1L)))
+    assert(ids.contains((0L, 2L)) || ids.contains((1L, 2L)))
+    assert(!ids.exists(p => p._1 == 3L || p._2 == 3L))
+    val exact = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    assert(exact.getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("jaccard verification keeps true near-dups") {
+    val cands = Dedup.minhashPairs(docs, k = 3, numHashes = 64, bands = 16, 0.3)
+    val verified = Dedup.verifyJaccard(cands, docs, k = 3, minJaccard = 0.5).collect()
+    assert(verified.exists(r => r.getLong(1) == 0L || r.getLong(0) == 0L || r.getLong(1) == 1L))
+    verified.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("simhash pairs: identical texts have hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    val p01 = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L)
+    assert(p01.isDefined)
+    assert(p01.get.getAs[Int]("hamming") == 0)
+  }
+
+  test("simhash determinism") {
+    assert(Dedup.simhash64("hello world") == Dedup.simhash64("hello world"))
+    assert(Dedup.jaccard("a b c d e", "a b c d e", 3) == 1.0)
+  }
+
+  test("embedding dup pairs via hyperplane LSH") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (1L, Array(1.0f, 0.01f, 0.0f, 0.1f)), // near 0
+      (2L, Array(-1.0f, 0.2f, 0.9f, -0.3f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(emb, dim = 4, planes = 4, minCosine = 0.99)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("brute force top-k: self is rank 1 with cosine 1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val top = Similarity.bruteForceTopK(emb, q, k = 3).collect()
+    assert(top.length == 3)
+    val r1 = top.find(_.getAs[Int]("rank") == 1).get
+    assert(r1.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(r1.getAs[Double]("cosine") - 1.0) < 1e-9)
+    val r2 = top.find(_.getAs[Int]("rank") == 2).get
+    assert(r2.getAs[Long]("vec_id") == 1L)
+  }
+
+  test("LSH top-k recalls the true neighbor for clustered vectors") {
+    val emb = (0L until 50L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.2f, 0.0f) else Array(0.0f, 0.3f, 1.0f)
+      (i, base.map(v => v + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val top = Similarity.lshTopK(emb, q, dim = 3, k = 5, planes = 3)
+    val ids = top.select("vec_id").as[Long].collect().toSet
+    assert(ids.contains(0L))
+    // bucketed candidates must come from the same (even) cluster
+    assert(ids.forall(_ % 2 == 0))
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("language id heuristic") {
+    assert(TextAnalysis.detectLanguage(
+      "the cat sat on the mat and it was the best day for the dog") == "en")
+    assert(TextAnalysis.detectLanguage(
+      "der hund und die katze sind nicht mit dem auto auf der strasse") == "de")
+    assert(TextAnalysis.detectLanguage(
+      "le chat est dans la maison avec les enfants et le chien pour une") == "fr")
+    assert(TextAnalysis.detectLanguage("xyzzy qwerty plugh") == "und")
+    assert(TextAnalysis.detectLanguage("") == "und")
+  }
+
+  test("quality signals arithmetic") {
+    val docs = Seq((0L, "aa bb cc"), (1L, ""), (2L, "single")).toDF("doc_id", "text")
+    val rows = TextAnalysis.qualitySignals(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(0L).getAs[Long]("n_tokens") == 3L)
+    assert(math.abs(rows(0L).getAs[Double]("mean_tok_len") - math.rint(8.0 / 3 * 10000) / 10000) < 1e-9)
+    assert(rows(2L).getAs[Long]("n_tokens") == 1L)
+  }
+
+  test("fingerprint: stable, shifts only locally under edits") {
+    val a = TextAnalysis.fingerprint("some long document text with many characters inside it")
+    val b = TextAnalysis.fingerprint("some long document text with many characters inside it")
+    assert(a == b)
+    assert(TextAnalysis.fingerprint("short") == TextAnalysis.fingerprint("short"))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("decode stub: deterministic metadata from bytes") {
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 1, 2, 3)
+    val m = Multimodal.decodeStub(jpeg)
+    assert(m.format == "jpeg")
+    assert(m.n_bytes == 6L)
+    assert(Multimodal.decodeStub(jpeg) == m)
+  }
+
+  test("batched decode over a Dataset keeps schema and row count") {
+    val rows = Seq(
+      Multimodal.MediaRow(0L, Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 9)),
+      Multimodal.MediaRow(1L, "GIF89a....".getBytes),
+      Multimodal.MediaRow(2L, Array.emptyByteArray))
+    val out = Multimodal.decodeAll(spark, spark.createDataset(rows)).collect()
+    assert(out.length == 3)
+    assert(out.find(_.media_id == 1L).get.format == "gif")
+    assert(out.forall(_.feature.length == 16))
+  }
+
+  test("mediaMeta DataFrame projection") {
+    val df = Seq((0L, "GIF89axyz".getBytes)).toDF("media_id", "content")
+    val meta = Multimodal.mediaMeta(df, "content").collect().head
+    assert(meta.getAs[String]("format") == "gif")
+    assert(meta.getAs[String]("media_hash").startsWith("1220"))
+  }
+}

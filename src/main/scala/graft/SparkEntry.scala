@@ -78,6 +78,66 @@ object SparkEntry {
         .orderBy("doc_id").select("doc_id", "source").limit(50)
     }),
 
+    // P5: SuspectedContentUrl UDF validated against the synthesized truth
+    // (.pdf urls are content; .html is a notContent extension)
+    "p5_suspected_content" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        Funcs.suspectedContentUdf(urlCol(col("doc_id")), lit("")).as("suspected"))
+    }),
+    // P6: host whitelist semi-join; host extracted by the Go-parity parser,
+    // oracle reconstructs hosts arithmetically
+    "p6_host_whitelist" -> ((s, d) => {
+      val urls = t(s, d, "documents").select(col("doc_id"), urlCol(col("doc_id")).as("url"))
+        .withColumn("host", Funcs.hostUdf(col("url")))
+      val wl = s.createDataFrame(Seq(Tuple1("site7.example.com"), Tuple1("site9.example.com"),
+        Tuple1("site23.example.com"))).toDF("host")
+      urls.join(broadcast(wl), Seq("host"), "left_semi").select("doc_id", "url", "host")
+    }),
+    // P7: Source.MatchesUrl containment (strings.Contains, source.go:112-119)
+    "p7_matches_url" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"), urlCol(col("doc_id")).as("url"))
+        .filter(col("url").contains("doc/1"))
+    }),
+    // F2: Go net/url component extraction validated against constructed truth
+    "f2_url_parts" -> ((s, d) => {
+      val u = urlCol(col("doc_id"))
+      t(s, d, "documents").select(col("doc_id"),
+        Funcs.schemeUdf(u).as("scheme"), Funcs.hostUdf(u).as("host"),
+        Funcs.pathUdf(u).as("path"))
+    }),
+    // S5: WARC-shaped record emit (core/url.go:146-158)
+    "s5_warc_emit" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        concat(lit("<urn:sha256:"), sha2(col("text").cast("binary"), 256), lit(">"))
+          .as("warc_record_id"),
+        urlCol(col("doc_id")).as("warc_target_uri"),
+        col("n_chars").as("content_length"))
+    }),
+    // A9: bloom URL-seen prefilter + exact confirm — must equal the exact
+    // anti-join (the j8 oracle re-used as this query's oracle)
+    "a9_bloom_seen" -> ((s, d) => {
+      import graft.crawl.Bloom
+      val docs = t(s, d, "documents")
+      val cand = docs.filter(col("doc_id") < 300).select(urlCol(col("doc_id")).as("url"))
+      val seen = docs.filter(col("doc_id") % 3 === 0).select(urlCol(col("doc_id")).as("url"))
+      val bloom = Bloom.build(s, seen, "url", 65536)
+      val hit = Bloom.mightContainCol(s, bloom, col("url"))
+      val tagged = cand.withColumn("hit", hit)
+      tagged.filter(!col("hit")).select("url")
+        .unionByName(tagged.filter(col("hit")).select("url")
+          .join(seen, Seq("url"), "left_anti"))
+    }),
+    // F10: headers [k,v,...] slice <-> map round trip (url.go:139-144,514-522)
+    "f10_headers_map" -> ((s, d) => {
+      val hdrs = array(lit("Content-Length"), col("n_chars").cast("string"),
+        lit("Content-Type"), lit("text/plain; charset=utf-8"))
+      t(s, d, "documents").select(col("doc_id"), hdrs.as("headers"),
+        map_from_arrays(
+          filter(transform(hdrs, (x, i) => when(i % 2 === 0, x)), _.isNotNull),
+          filter(transform(hdrs, (x, i) => when(i % 2 === 1, x)), _.isNotNull))
+          .as("headers_map"))
+    }),
+
     // ---------------- joins (J1, J4, J5, J6, J7, J8)
     "j1_equi_join" -> ((s, d) => {
       val o = t(s, d, "orders"); val c = t(s, d, "customer")
@@ -315,6 +375,22 @@ object SparkEntry {
     "j7_containment_theta" ->
       s"""SELECT c_url, pref FROM (SELECT $urlsSql AS c_url FROM documents WHERE doc_id < 200) c JOIN (SELECT concat('doc/', CAST(doc_id AS VARCHAR)) AS pref FROM documents WHERE doc_id < 20) p ON c_url LIKE concat('%', pref, '%')""",
     "j8_frontier_seen_anti" ->
+      s"""SELECT url FROM (SELECT $urlsSql AS url FROM documents WHERE doc_id < 300) WHERE url NOT IN (SELECT $urlsSql AS url FROM documents WHERE doc_id % 3 = 0)""",
+    "p5_suspected_content" ->
+      "SELECT doc_id, (doc_id % 7 = 0) AS suspected FROM documents",
+    "p6_host_whitelist" ->
+      s"""SELECT doc_id, url, host FROM (SELECT doc_id, $urlsSql AS url, concat('site', CAST(doc_id % 50 AS VARCHAR), '.example.com') AS host FROM documents) WHERE host IN ('site7.example.com', 'site9.example.com', 'site23.example.com')""",
+    "p7_matches_url" ->
+      s"SELECT doc_id, url FROM (SELECT doc_id, $urlsSql AS url FROM documents) WHERE url LIKE '%doc/1%'",
+    "f2_url_parts" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 10 = 0 THEN 'ftp' WHEN doc_id % 10 = 1 THEN 'mailto' ELSE 'http' END AS scheme,
+        | concat('site', CAST(doc_id % 50 AS VARCHAR), '.example.com') AS host,
+        | concat('/doc/', CAST(doc_id AS VARCHAR), CASE WHEN doc_id % 7 = 0 THEN '.pdf' ELSE '.html' END) AS path
+        | FROM documents""".stripMargin.replace("\n", ""),
+    "s5_warc_emit" ->
+      s"SELECT doc_id, concat('<urn:sha256:', sha256(text), '>') AS warc_record_id, $urlsSql AS warc_target_uri, n_chars AS content_length FROM documents",
+    "a9_bloom_seen" ->
       s"""SELECT url FROM (SELECT $urlsSql AS url FROM documents WHERE doc_id < 300) WHERE url NOT IN (SELECT $urlsSql AS url FROM documents WHERE doc_id % 3 = 0)""",
     "a1_count_global" -> "SELECT count(*) AS n_rows FROM lineitem",
     "a2_groupby_count" -> "SELECT source, count(*) AS n FROM documents GROUP BY source",

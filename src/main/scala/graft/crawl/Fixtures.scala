@@ -119,6 +119,7 @@ object Fixtures {
       contentFraction: Double = 0.1, // .csv/.pdf content urls (content lane B)
       crossHostFraction: Double = 0.2,
       fillerParagraphs: Int = 24,    // body text mass (~Common-Crawl-ish pages)
+      partitions: Int = 0,           // 0 = spark defaultParallelism
       seed: Long = 42L)
 
   def hostName(h: Int): String = f"host$h%04d.example.com"
@@ -171,7 +172,9 @@ object Fixtures {
   def scaleSitePages(spark: SparkSession, cfg: ScaleConfig): Dataset[Page] = {
     import spark.implicits._
     val n = cfg.hosts.toLong * cfg.pagesPerHost
-    spark.range(0, n + cfg.hosts, 1, spark.sparkContext.defaultParallelism)
+    val parts = if (cfg.partitions > 0) cfg.partitions
+                else spark.sparkContext.defaultParallelism
+    spark.range(0, n + cfg.hosts, 1, parts)
       .map { i =>
         if (i < n) {
           val h = (i / cfg.pagesPerHost).toInt

@@ -538,6 +538,10 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     stats.toSeq
   }
 
+  /** Current queued-command count (A10 queue-depth gauge, crawler.go:143). */
+  def frontierDepth: Long =
+    frontierDF.filter($"state" === StateQueued).count()
+
   /** POST /que equivalent (handlers.go:59-108): seed one url into lane C. */
   def seedUrl(url: String): Unit = {
     val w = store.currentWave + 1

@@ -532,6 +532,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     while (continue && w < maxWaves) {
       val s = runWave(w)
       stats += s
+      if (cfg.compactEvery > 0 && w > 0 && w % cfg.compactEvery == 0) compactTables()
       if (s.frontierDepth == 0 && s.taken == 0 && s.enqueued == 0 && w > 0) continue = false
       w += 1
     }
@@ -542,13 +543,30 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   def frontierDepth: Long =
     frontierDF.filter($"state" === StateQueued).count()
 
-  /** POST /que equivalent (handlers.go:59-108): seed one url into lane C. */
+  /** The committed frontier (GET /que view). */
+  def frontierView: DataFrame = frontierDF
+
+  /** POST /que equivalent (handlers.go:59-108): audit the request, create
+    * the Url row if unseen (SeedUrlHandler's Read-or-Create), and enqueue a
+    * GET on lane C — the seed crawler whose extracted links feed lane A
+    * (seed_crawler.go:58). */
   def seedUrl(url: String): Unit = {
+    store.resetPending()
     val w = store.currentWave + 1
-    val row = Seq((url, "GET", GoUrl.hostOf(url), "C", w, w * SeqStride + 1L, StateQueued))
+    val ts = timestamp_seconds(lit(baseEpochSec + (w * cfg.waveWindowSec).toLong))
+    val row = Seq((url, "GET", GoUrl.hostOf(url), "C", w,
+        w * SeqStride + (1L << 20), StateQueued))
       .toDF("url", "method", "host", "lane", "wave", "seq", "state")
     val f = frontierDF.join(row.select("url"), Seq("url"), "left_anti").unionByName(row)
     store.stageRewrite("frontier", f)
+    // Read-or-Create the url row (handlers.go:83-101)
+    val creates = row.select($"url")
+      .join(urlsView.select("url"), Seq("url"), "left_anti")
+      .select(newUrlRowCols($"url", ts): _*)
+    store.stageAppend("urls", withMor(creates, w, 1))
+    // audit log (archive_requests insert, handlers.go:75)
+    store.stageAppend("archive_requests",
+      Seq((url, w)).toDF("url", "wave").select($"url", ts.as("created"), $"wave"))
     store.commitWave(store.currentWave)
   }
 

@@ -25,21 +25,32 @@ object Similarity {
     dotCol(a, b) / (normCol(a) * normCol(b))
 
   /** Deterministic hyperplane signature: bit i = sign(dot(v, r_i)) where
-    * r_i components come from splitmix64(seed, i*dim+j) mapped to ±1. */
+    * r_i components come from splitmix64(seed, i*dim+j) mapped to ±1.
+    * One compact kernel over the array (a dim×planes expression tree made
+    * planning and codegen the bottleneck — measured 7x slower). */
   def hyperplaneSig(v: Column, dim: Int, planes: Int, seed: Long): Column = {
-    def mixSign(i: Int, j: Int): Double = {
+    val signs: Array[Array[Float]] = Array.tabulate(planes, dim) { (i, j) =>
       var z = seed + (i.toLong * dim + j) * 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d9eecb0b2b6e3bL
       z = z ^ (z >>> 31)
-      if (z >= 0) 1.0 else -1.0
+      if (z >= 0) 1.0f else -1.0f
     }
-    val bits = (0 until planes).map { i =>
-      val dot = (0 until dim).map(j => v.getItem(j) * lit(mixSign(i, j)))
-        .reduce(_ + _)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+    val f = udf { (vec: Array[Float]) =>
+      var sig = 0L
+      var i = 0
+      while (i < planes) {
+        var dot = 0.0
+        val row = signs(i)
+        var j = 0
+        val n = math.min(dim, vec.length)
+        while (j < n) { dot += vec(j) * row(j); j += 1 }
+        if (dot >= 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
     }
-    bits.reduce(_ + _)
+    f(v)
   }
 
   /** Brute-force cosine top-k per query: cross join (queries broadcast) +

@@ -320,6 +320,16 @@ object SparkEntry {
           .otherwise((length(trim(txt)) - length(replace(trim(txt), lit(" "), lit(""))) + 1).cast("long"))
           .as("n_tokens"))
     }),
+    "t6_extract_text" -> ((s, d) => {
+      // visible-text extraction over synthesized html; oracle reconstructs
+      // the expected text arithmetically
+      val html = concat(lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script>var x=1;</script></head><body><p>alpha "),
+        col("doc_id").cast("string"), lit("</p><!-- hidden --><p>beta</p></body></html>"))
+      t(s, d, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          Funcs.extractTextUdf(html.cast("binary")).as("page_text"))
+    }),
     "t4_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"))),
@@ -422,6 +432,8 @@ object SparkEntry {
     "d5_embed_exact_dup" ->
       "SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM embeddings a JOIN embeddings b ON a.embedding = b.embedding AND a.vec_id < b.vec_id",
     "t1_lang_dist" -> "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+    "t6_extract_text" ->
+      "SELECT doc_id, concat('Doc ', CAST(doc_id AS VARCHAR), ' alpha ', CAST(doc_id AS VARCHAR), ' beta') AS page_text FROM documents WHERE doc_id < 200",
     "t2_quality_signals" ->
       "SELECT doc_id, length(text) AS n_chars_c, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens, CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE round(CAST(length(text) AS DOUBLE) / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1), 4) END AS mean_tok_len FROM documents",
     "t3_token_count" ->

@@ -120,6 +120,7 @@ object Fixtures {
       crossHostFraction: Double = 0.2,
       fillerParagraphs: Int = 24,    // body text mass (~Common-Crawl-ish pages)
       partitions: Int = 0,           // 0 = spark defaultParallelism
+      adminPages: Boolean = false,   // add a /admin/ page per host (robots-disallowed)
       seed: Long = 42L)
 
   def hostName(h: Int): String = f"host$h%04d.example.com"
@@ -145,6 +146,8 @@ object Fixtures {
       sb.append(s"""<a href="$target">link $k</a>\n""")
       k += 1
     }
+    if (cfg.adminPages && p == 0)
+      sb.append(s"""<a href="http://${hostName(h)}/admin/secret.html">admin</a>\n""")
     var f = 0
     while (f < cfg.fillerParagraphs) {
       val r = mix(cfg.seed, (h.toLong * 1000003L + p) * 977L + f)
@@ -193,6 +196,14 @@ object Fixtures {
         }
       }
   }
+
+  /** The /admin/ pages (present in the site, disallowed by robots). */
+  def adminPages(cfg: ScaleConfig): Seq[Page] =
+    if (!cfg.adminPages) Seq.empty
+    else (0 until cfg.hosts).map { h =>
+      Page(s"http://${hostName(h)}/admin/secret.html", BaseTs,
+        "<html><title>secret</title></html>".getBytes("UTF-8"), "secret", "en")
+    }
 
   def scaleSiteSources(cfg: ScaleConfig, crawlingHosts: Int): Seq[SourceRow] =
     (0 until crawlingHosts).map { h =>

@@ -21,7 +21,7 @@ final case class CrawlConfig(
     useBloomPrefilter: Boolean = true, // A9: bloom URL-seen prefilter ahead of the exact anti-join
     bloomExpectedItems: Long = 1L << 20,
     bloomFpp: Double = 0.01,
-    compactEvery: Int = 16)
+    compactEvery: Int = 8)
 
 /** The crawl scheduler: sentry's three-fetcher pipeline
   * (/root/reference/crawler.go:36-156, content_crawler.go, seed_crawler.go +
@@ -496,11 +496,17 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         Seq((w, merged.serialize)).toDF("wave", "bloom"), append = false)
     }
 
-    // per-partition lineage of the committed files (T10 resumability evidence)
+    // per-partition lineage of the committed files (T10 resumability
+    // evidence): full per-partition rows for the two load-bearing state
+    // tables, footer row-counts for the rest (keeps wave job count bounded)
     val lineageDF = staged.toSeq.map { case (t, v) =>
-      spark.read.parquet(store.versionPath(t, v))
-        .groupBy(spark_partition_id().as("partition_id")).agg(count(lit(1)).as("rows"))
-        .withColumn("wave", lit(w)).withColumn("table", lit(t))
+      val read = spark.read.parquet(store.versionPath(t, v))
+      val counted =
+        if (t == "urls" || t == "frontier")
+          read.groupBy(spark_partition_id().as("partition_id"))
+            .agg(count(lit(1)).as("rows"))
+        else read.agg(count(lit(1)).as("rows")).withColumn("partition_id", lit(-1))
+      counted.withColumn("wave", lit(w)).withColumn("table", lit(t))
         .withColumn("version", lit(v))
         .select("wave", "table", "partition_id", "rows", "version")
     }.reduceOption(_ unionByName _)

@@ -46,6 +46,10 @@ object Funcs {
   /** F8: title extraction (goquery Find("title").Text()). */
   val titleUdf = udf((body: Array[Byte]) => LinkExtract.titleFromBody(body))
 
+  /** Visible-text extraction (input_hint invariant: extracted text per url). */
+  val extractTextUdf = udf((body: Array[Byte]) =>
+    HtmlTok.extractText(HtmlTok.bytesToString(body)))
+
   /** F9: href extraction resolved against the page url (document order). */
   val extractLinksUdf = udf((pageUrl: String, body: Array[Byte]) =>
     LinkExtract.extractLinksFromBody(pageUrl, body))

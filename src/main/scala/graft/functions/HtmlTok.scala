@@ -198,6 +198,89 @@ object HtmlTok {
     sb.toString
   }
 
+  /** Visible text of a document (goquery doc.Text() shape): all text nodes
+    * in document order with entities decoded; script/style/comment content
+    * excluded; whitespace runs collapsed to single spaces and trimmed. */
+  def extractText(html: String): String = {
+    val out = new StringBuilder
+    var pendingSpace = false
+    def emit(from: Int, to: Int): Unit = {
+      if (to > from) {
+        val seg = decodeEntities(html.substring(from, to))
+        var j = 0
+        while (j < seg.length) {
+          val c = seg.charAt(j)
+          if (Character.isWhitespace(c)) pendingSpace = out.nonEmpty
+          else {
+            if (pendingSpace) { out.append(' '); pendingSpace = false }
+            out.append(c)
+          }
+          j += 1
+        }
+      }
+    }
+    val n = html.length
+    var textStart = 0
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { emit(textStart, n); return out.toString }
+      tokenizeOne(html, lt) match {
+        case Some(p) => // markup: flush preceding text, skip construct
+          emit(textStart, lt)
+          pendingSpace = out.nonEmpty // tag boundaries separate text nodes
+          i = p
+          textStart = p
+        case None => // stray '<' is text; keep scanning
+          i = lt + 1
+      }
+    }
+    emit(textStart, n)
+    out.toString
+  }
+
+  /** Consume exactly one markup construct starting at `pos` ('<'); returns
+    * the position after it (after RAWTEXT content for script/style), or
+    * None if it is not markup. */
+  private def tokenizeOne(html: String, pos: Int): Option[Int] = {
+    val n = html.length
+    if (pos + 1 >= n) return Some(n)
+    val c1 = html.charAt(pos + 1)
+    if (c1 == '!') {
+      if (html.startsWith("<!--", pos)) {
+        val end = html.indexOf("-->", pos + 4)
+        Some(if (end < 0) n else end + 3)
+      } else {
+        val end = html.indexOf('>', pos)
+        Some(if (end < 0) n else end + 1)
+      }
+    } else if (c1 == '?') {
+      val end = html.indexOf('>', pos)
+      Some(if (end < 0) n else end + 1)
+    } else if (c1 == '/' || isLetter(c1)) {
+      var j = if (c1 == '/') pos + 2 else pos + 1
+      val nameStart = j
+      while (j < n && !isSpace(html.charAt(j)) && html.charAt(j) != '>' && html.charAt(j) != '/')
+        j += 1
+      val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+      // scan to tag end respecting quoted attribute values
+      var done = false
+      while (!done && j < n) {
+        val c = html.charAt(j)
+        if (c == '>') { j += 1; done = true }
+        else if (c == '"' || c == '\'') {
+          val q = c; j += 1
+          while (j < n && html.charAt(j) != q) j += 1
+          if (j < n) j += 1
+        } else j += 1
+      }
+      if (c1 != '/' && (name == "script" || name == "style")) {
+        val end = indexOfIgnoreCase(html, "</" + name, j)
+        Some(if (end < 0) n else end)
+      } else Some(j)
+    } else None
+  }
+
   def bytesToString(body: Array[Byte]): String =
     if (body == null) "" else new String(body, java.nio.charset.StandardCharsets.UTF_8)
 }

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.crawl._
+
+/** Crawl correctness on the seeded scale web-graph: lane routing, robots
+  * disallow, per-host FIFO, and politeness under per-host Crawl-delays. */
+class ScaleCrawlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val cfg = Fixtures.ScaleConfig(hosts = 6, pagesPerHost = 8,
+    outDegree = 4, contentFraction = 0.25, fillerParagraphs = 2,
+    adminPages = true)
+
+  private lazy val sched: Scheduler = {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("scale-crawl"))
+    val s = new Scheduler(spark, store,
+      CrawlConfig(waveWindowSec = 48.0, seedSourcesLimit = 200))
+    val pages = Fixtures.scaleSitePages(spark, cfg).toDF()
+      .unionByName(Fixtures.pagesDF(spark, Fixtures.adminPages(cfg)))
+    s.bootstrap(pages, Fixtures.sourcesDF(spark,
+      Fixtures.scaleSiteSources(cfg, crawlingHosts = 4))) // 4 of 8 hosts whitelisted
+    s.run(maxWaves = 30)
+    s
+  }
+
+  test("whitelisted-host html pages get fetched; off-whitelist only HEAD-attempted") {
+    val urls = sched.urlsView.collect().map(r =>
+      r.getAs[String]("url") -> r).toMap
+    // every root of the 4 crawling hosts was GET'd
+    (0 until 4).foreach { h =>
+      val root = urls(s"http://${Fixtures.hostName(h)}")
+      assert(root.getAs[java.sql.Timestamp]("last_get") != null, s"root $h not fetched")
+    }
+    // pages on non-crawling hosts may be stored (links) but never GET'd via lane A
+    val offWl = urls.keys.filter(u => (4 until cfg.hosts).exists(h => u.contains(Fixtures.hostName(h))))
+    val getsOffWl = sched.fetchLogView
+      .filter($"lane" === "A" && $"method" === "GET" && $"outcome" === "ok")
+      .select("url").as[String].collect()
+      .filter(u => (4 until cfg.hosts).exists(h => u.contains(Fixtures.hostName(h))))
+    assert(offWl.nonEmpty && getsOffWl.isEmpty,
+      s"off-whitelist GETs happened: ${getsOffWl.take(3).mkString(",")}")
+  }
+
+  test("content urls (.csv/.pdf) route to lane B") {
+    val laneB = sched.fetchLogView.filter($"lane" === "B" && $"outcome" === "ok")
+      .select("url").as[String].collect()
+    assert(laneB.nonEmpty)
+    assert(laneB.forall(u => u.endsWith(".csv") || u.endsWith(".pdf")),
+      s"non-content on lane B: ${laneB.filterNot(u => u.endsWith(".csv") || u.endsWith(".pdf")).take(3).mkString(",")}")
+  }
+
+  test("robots Disallow: /admin/ is enforced; the url is stored but never fetched") {
+    val disallowed = sched.fetchLogView.filter($"outcome" === "disallowed")
+      .select("url").as[String].collect()
+    assert(disallowed.nonEmpty)
+    assert(disallowed.forall(_.contains("/admin/")))
+    val adminUrls = sched.urlsView.filter($"url".contains("/admin/")).collect()
+    assert(adminUrls.nonEmpty) // stored by extraction
+    assert(adminUrls.forall(r => r.getAs[java.sql.Timestamp]("last_get") == null &&
+      r.getAs[java.sql.Timestamp]("last_head") == null))
+  }
+
+  test("per-host FIFO and politeness with per-host robots Crawl-delay") {
+    val log = sched.fetchLogView
+      .filter($"outcome".isin("ok", "error", "disallowed"))
+      .select($"host", $"lane", $"vt", $"seq").collect()
+      .groupBy(r => (r.getAs[String]("host"), r.getAs[String]("lane")))
+    assert(log.nonEmpty)
+    log.foreach { case ((host, lane), rows) =>
+      val byVt = rows.sortBy(_.getAs[Double]("vt"))
+      // FIFO: execution order (vt) is monotone in enqueue order (seq)
+      val seqs = byVt.map(_.getAs[Long]("seq"))
+      assert(seqs.sorted.sameElements(seqs), s"FIFO violated on $host/$lane")
+      // politeness: effective delay from that host's robots (1..3 vsec)
+      val h = host.split("\\.")(0).stripPrefix("host").toInt
+      val delay = 1 + (math.abs(Fixtures.mix(cfg.seed, 777L + h).toInt) % 3)
+      byVt.map(_.getAs[Double]("vt")).sliding(2).foreach {
+        case Array(a, b) => assert(b - a >= delay - 1e-9,
+          s"gap ${b - a} < delay $delay on $host/$lane")
+        case _ => ()
+      }
+    }
+  }
+
+  test("crawl converges: every whitelisted html page reachable from roots is fetched") {
+    val okGets = sched.fetchLogView
+      .filter($"method" === "GET" && $"outcome" === "ok" && $"lane" === "A")
+      .select("url").as[String].collect().toSet
+    // at minimum the 4 roots plus a healthy share of their graphs
+    assert(okGets.size >= 4)
+    val totalFetched = sched.urlsView.filter($"last_get".isNotNull).count()
+    assert(totalFetched >= okGets.size)
+  }
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Funcs
 import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.crawl.{Metadata, Collections, Uncrawlables}
 
 /** Driver contract: the operator catalog (SURVEY.md §2) exposed as named
   * queries over the driver-provided parquet tables, each with a DuckDB
@@ -30,6 +31,157 @@ object SparkEntry {
     """concat(CASE WHEN doc_id % 10 = 0 THEN 'ftp' WHEN doc_id % 10 = 1 THEN 'mailto' ELSE 'http' END,
       | '://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/doc/', CAST(doc_id AS VARCHAR),
       | CASE WHEN doc_id % 7 = 0 THEN '.pdf' ELSE '.html' END)""".stripMargin.replace("\n", "")
+
+  // ------------------------------------------------------------------
+  // Derived deterministic inputs shared by oracle-checked operators. The
+  // driver's parquet tables are the only source rows; every synthesized
+  // column below is reconstructed identically by the DuckDB oracle SQL.
+  // ------------------------------------------------------------------
+
+  /** 2017-01-01T00:00:00Z — epoch for synthesized timestamps. */
+  private val metaEpoch = 1483228800L
+
+  /** Dedup corpus: clusters of 4 docs sharing 24 cluster-scoped words plus
+    * one per-doc word → intra-cluster word-set Jaccard = 24/26, cross-cluster
+    * Jaccard = 0 (disjoint vocabularies). The planted truth is pure doc_id
+    * arithmetic, so DuckDB can verify LSH output without re-deriving
+    * signatures. */
+  private def clusterText(docId: Column): Column =
+    array_join(transform(sequence(lit(0), lit(23)),
+      j => concat(lit("t"), floor(docId / 4).cast("string"), lit("x"),
+        j.cast("string"))), " ")
+
+  private def corpusText(docId: Column): Column =
+    concat(clusterText(docId), lit(" u"), docId.cast("string"))
+
+  /** Synthetic embeddings on the unit circle: angle theta = (vec_id % 97) *
+    * pi/97, vector = [cos theta, sin theta, 0 x 62]. Cosine similarity
+    * between two vectors is exactly cos(delta-theta) — 97 well-separated
+    * levels (min gap ~5e-4 >> float error), and residue-equal ids are exact
+    * duplicates, so ranks/thresholds are stable across engines and ties
+    * break identically. */
+  private def circleVec(vecId: Column, queryOffset: Double = 0.0): Column = {
+    val theta = ((vecId % 97).cast("double") + lit(queryOffset)) * lit(math.Pi / 97)
+    concat(array(cos(theta), sin(theta)), array_repeat(lit(0.0), 62))
+      .cast("array<float>")
+  }
+
+  private def synthEmb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").select(col("vec_id"), circleVec(col("vec_id")).as("embedding"))
+
+  /** ANN query vectors sit 0.37 grid units OFF the corpus angle grid, so
+    * every query-to-corpus distance level is distinct with >=1e-4 cosine
+    * margin (no cross-engine float-noise tie flips); residue-equal corpus
+    * ids remain bit-exact ties broken by vec_id in both engines. */
+  private def synthQueries(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        circleVec(col("vec_id"), queryOffset = 0.37).as("query_vec"))
+
+  private val annOracleSql =
+    """WITH v AS (SELECT vec_id, (vec_id % 97) * pi() / 97 AS th FROM embeddings),
+      | q AS (SELECT vec_id AS query_id, (vec_id % 97 + 0.37) * pi() / 97 AS qth FROM embeddings WHERE vec_id < 5)
+      | SELECT query_id, vec_id, rank FROM (
+      |   SELECT q.query_id, v.vec_id,
+      |     row_number() OVER (PARTITION BY q.query_id ORDER BY cos(v.th - q.qth) DESC, v.vec_id) AS rank
+      |   FROM q CROSS JOIN v) ranked
+      | WHERE rank <= 10""".stripMargin.replace("\n", "")
+
+  /** Deterministic PNG bytes per doc: a width x height black RGB image with
+    * doc_id-derived dimensions, encoded by the JDK PNG writer. The m1 query
+    * decodes these back with the REAL javax.imageio header path. */
+  private val pngUdf = udf { (id: Long) =>
+    val w = 16 + (id % 32).toInt
+    val h = 8 + (id % 16).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** t4 fixture texts (pinned fingerprint literals in the oracle). */
+  private val t4Texts: Seq[String] = (0 until 8).map(i =>
+    s"doc $i alpha${i * 7} beta${i * 13} gamma${i * 29} delta${i * 31} epsilon zeta eta theta iota kappa lambda")
+
+  /** t5 fixture texts — one per language profile + und. */
+  private val t5Texts: Seq[String] = Seq(
+    "the cat and the dog of the house is that it was for them",
+    "der hund die katze und das haus ist nicht mit ein auf sich",
+    "les chats des chiens et est une dans que qui pour pas",
+    "el gato los perros las casas y que en un una es no",
+    "il gatto di cane che e un per non con del si da",
+    "zzz qqq xxx yyy www vvv")
+  private val t5Expected: Seq[String] = Seq("en", "de", "fr", "es", "it", "und")
+
+  private def pickByMod(c: Column, texts: Seq[String]): Column =
+    texts.zipWithIndex.foldLeft(lit(texts.head)) { case (acc, (txt, i)) =>
+      when(c % texts.length === i, lit(txt)).otherwise(acc)
+    }
+
+  /** Metadata entity rows derived from documents (hash-chained versions;
+    * see graft.crawl.Metadata). doc_id %4==0 docs have no metadata; %10==5
+    * plants the empty-content sentinel; %9==0 v2 has a NULL body; %11==0 v1
+    * is soft-deleted. */
+  private def metaFrame(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val base = docs.filter(col("doc_id") % 4 =!= 0).select(col("doc_id"),
+      concat(lit("1220"), sha2(col("text").cast("binary"), 256)).as("subject"),
+      concat(lit("key"), (col("doc_id") % 5).cast("string")).as("key_id"))
+    def link(j: Int, prev: Column): Column = concat(lit("1220"),
+      sha2(concat(col("key_id"), col("subject"), lit(j.toString), prev)
+        .cast("binary"), 256))
+    val withH = base
+      .withColumn("h0", when(col("doc_id") % 10 === 5,
+        lit(Metadata.EmptyContentHash)).otherwise(link(0, lit(""))))
+      .withColumn("h1", link(1, col("h0")))
+      .withColumn("h2", link(2, col("h1")))
+    withH.select(col("doc_id"), col("subject"), col("key_id"), explode(array(
+        struct(lit(0).as("j"), col("h0").as("hash"), lit("").as("prev")),
+        struct(lit(1).as("j"), col("h1").as("hash"), col("h0").as("prev")),
+        struct(lit(2).as("j"), col("h2").as("hash"), col("h1").as("prev"))))
+        .as("v"))
+      .select(col("v.hash").as("hash"),
+        timestamp_seconds(lit(metaEpoch) + col("doc_id") * 3 + col("v.j"))
+          .as("time_stamp"),
+        col("key_id"), col("subject"), col("v.prev").as("prev"),
+        when(col("doc_id") % 9 === 0 && col("v.j") === 2, lit(null).cast("string"))
+          .otherwise(concat(lit("{\"title\":\"doc "), col("doc_id").cast("string"),
+            lit(" v"), col("v.j").cast("string"), lit("\"}"))).as("meta"),
+        (col("doc_id") % 11 === 0 && col("v.j") === 1).as("deleted"))
+  }
+
+  /** DuckDB twin of metaFrame as a WITH-clause body (tables inlined). */
+  private val metaSqlCtes =
+    """md AS (SELECT d.doc_id, '1220' || sha256(d.text) AS subject, 'key' || CAST(d.doc_id % 5 AS VARCHAR) AS key_id FROM documents d WHERE d.doc_id % 4 <> 0),
+      | mh AS (SELECT *, CASE WHEN doc_id % 10 = 5 THEN '1220e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855' ELSE '1220' || sha256(key_id || subject || '0' || '') END AS h0 FROM md),
+      | mh2 AS (SELECT *, '1220' || sha256(key_id || subject || '1' || h0) AS h1 FROM mh),
+      | mh3 AS (SELECT *, '1220' || sha256(key_id || subject || '2' || h1) AS h2 FROM mh2),
+      | meta AS (SELECT doc_id, subject, key_id,
+      |   CASE v.j WHEN 0 THEN h0 WHEN 1 THEN h1 ELSE h2 END AS hash,
+      |   CASE v.j WHEN 0 THEN '' WHEN 1 THEN h0 ELSE h1 END AS prev,
+      |   TIMESTAMP '2017-01-01 00:00:00' + INTERVAL (doc_id * 3 + v.j) SECOND AS time_stamp,
+      |   CASE WHEN doc_id % 9 = 0 AND v.j = 2 THEN NULL ELSE '{"title":"doc ' || CAST(doc_id AS VARCHAR) || ' v' || CAST(v.j AS VARCHAR) || '"}' END AS meta,
+      |   (doc_id % 11 = 0 AND v.j = 1) AS deleted
+      | FROM mh3 CROSS JOIN (VALUES (0),(1),(2)) AS v(j))""".stripMargin.replace("\n", "")
+
+  /** Collections / collection_items / url-id side derived from documents. */
+  private def collectionItemsFrame(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      concat(lit("coll"), (col("doc_id") % 10).cast("string")).as("collection_id"),
+      concat(lit("1220"), sha2(urlCol(col("doc_id")).cast("binary"), 256)).as("url_id"),
+      floor(col("doc_id") / 10).cast("long").as("idx"),
+      lit("").as("description"))
+
+  private def urlIdFrame(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      concat(lit("1220"), sha2(urlCol(col("doc_id")).cast("binary"), 256)).as("id"),
+      urlCol(col("doc_id")).as("url"),
+      concat(lit("doc "), col("doc_id").cast("string")).as("title"))
+
+  private val collectionSqlCtes =
+    s"""items AS (SELECT 'coll' || CAST(doc_id % 10 AS VARCHAR) AS collection_id, '1220' || sha256($urlsSql) AS url_id, doc_id // 10 AS idx FROM documents),
+      | urlids AS (SELECT '1220' || sha256($urlsSql) AS id, $urlsSql AS url, 'doc ' || CAST(doc_id AS VARCHAR) AS title FROM documents)""".stripMargin.replace("\n", "")
 
   /** Flagship: multi-aggregate scan (driver smoke-checks rows > 0). */
   def entry(spark: SparkSession): DataFrame = {
@@ -127,15 +279,19 @@ object SparkEntry {
         .unionByName(tagged.filter(col("hit")).select("url")
           .join(seen, Seq("url"), "left_anti"))
     }),
-    // F10: headers [k,v,...] slice <-> map round trip (url.go:139-144,514-522)
+    // F10: headers [k,v,...] slice <-> map round trip (url.go:139-144,514-522).
+    // Emitted as JSON scalars: the driver's pandas compare cannot sort
+    // array/map columns (round-1 harness err), and to_json is a faithful,
+    // order-preserving serialization of both shapes.
     "f10_headers_map" -> ((s, d) => {
       val hdrs = array(lit("Content-Length"), col("n_chars").cast("string"),
         lit("Content-Type"), lit("text/plain; charset=utf-8"))
-      t(s, d, "documents").select(col("doc_id"), hdrs.as("headers"),
-        map_from_arrays(
+      t(s, d, "documents").select(col("doc_id"),
+        to_json(hdrs).as("headers_json"),
+        to_json(map_from_arrays(
           filter(transform(hdrs, (x, i) => when(i % 2 === 0, x)), _.isNotNull),
-          filter(transform(hdrs, (x, i) => when(i % 2 === 1, x)), _.isNotNull))
-          .as("headers_map"))
+          filter(transform(hdrs, (x, i) => when(i % 2 === 1, x)), _.isNotNull)))
+          .as("headers_map_json"))
     }),
 
     // ---------------- joins (J1, J4, J5, J6, J7, J8)
@@ -261,44 +417,60 @@ object SparkEntry {
         .groupBy("text_hash")
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
     }),
-    "d2_minhash_pairs" -> ((s, d) =>
-      Dedup.minhashPairs(t(s, d, "documents"), k = 3, numHashes = 64, bands = 16,
-        minEstJaccard = 0.5)),
-    "d3_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(t(s, d, "documents"), maxHamming = 3)),
+    // D2: MinHash-LSH candidate pairs over the planted dedup corpus
+    // (intra-cluster word Jaccard 24/26 ~ 0.92 → est >= 0.5 with huge
+    // margin; cross-cluster vocab is disjoint → no candidates)
+    "d2_minhash_pairs" -> ((s, d) => {
+      val corpus = t(s, d, "documents")
+        .select(col("doc_id"), corpusText(col("doc_id")).as("text"))
+      Dedup.minhashPairs(corpus, k = 1, numHashes = 64, bands = 16,
+        minEstJaccard = 0.5).select("a_id", "b_id")
+    }),
+    // D3: SimHash pairs — cluster texts are byte-identical → hamming 0;
+    // cross-cluster sigs are ~32 bits apart (disjoint token sets)
+    "d3_simhash_pairs" -> ((s, d) => {
+      val corpus = t(s, d, "documents")
+        .select(col("doc_id"), clusterText(col("doc_id")).as("text"))
+      Dedup.simhashPairs(corpus, maxHamming = 3)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+    }),
+    // D4: LSH candidates re-ranked by exact k=1 shingle Jaccard — the value
+    // is pure counting arithmetic (24/26), identical in DuckDB
     "d4_jaccard_verified" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val cands = Dedup.minhashPairs(docs, k = 3, numHashes = 64, bands = 16,
-        minEstJaccard = 0.3)
-      Dedup.verifyJaccard(cands, docs, k = 3, minJaccard = 0.6)
+      val corpus = t(s, d, "documents")
+        .select(col("doc_id"), corpusText(col("doc_id")).as("text"))
+      val cands = Dedup.minhashPairs(corpus, k = 1, numHashes = 64, bands = 16,
+        minEstJaccard = 0.0)
+      Dedup.verifyJaccard(cands, corpus, k = 1, minJaccard = 0.5)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
     }),
+    // D5: exact embedding dup — join on the vector's content hash (never the
+    // raw array: at scale the join key must be a fixed-width digest), then
+    // confirm with exact array equality
     "d5_embed_exact_dup" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
+      val e = synthEmb(s, d)
+        .withColumn("vkey", sha2(to_json(col("embedding")).cast("binary"), 256))
       e.alias("a").join(e.alias("b"),
-          col("a.embedding") === col("b.embedding") && col("a.vec_id") < col("b.vec_id"))
+          col("a.vkey") === col("b.vkey") && col("a.vec_id") < col("b.vec_id") &&
+            col("a.embedding") === col("b.embedding"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
     }),
+    // D6: banded hyperplane LSH + exact cosine verify over the circle
+    // fixture (true pairs: residue distance <= 9 ⇔ cosine >= 0.95)
     "d6_embed_cosine_pairs" -> ((s, d) =>
-      Dedup.embeddingDupPairs(t(s, d, "embeddings"), dim = 64, planes = 12,
-        minCosine = 0.95).select(col("a_id"), col("b_id"),
-          round(col("cosine"), 4).as("cosine"))),
+      Dedup.embeddingDupPairs(synthEmb(s, d), dim = 64, rowsPerBand = 4,
+        bands = 24, minCosine = 0.95).select("a_id", "b_id")),
 
-    // ---------------- similarity search
-    "ann1_bruteforce_topk" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.bruteForceTopK(e, q, k = 10)
-        .select(col("query_id"), col("vec_id"), col("rank"))
-    }),
-    "ann2_lsh_topk" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.lshTopK(e, q, dim = 64, k = 10)
-        .select(col("query_id"), col("vec_id"), col("rank"))
-    }),
+    // ---------------- similarity search (circle fixture: distinct,
+    // well-separated cosine levels; ties only between identical vectors,
+    // broken by vec_id in both engines)
+    "ann1_bruteforce_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(synthEmb(s, d), synthQueries(s, d), k = 10)
+        .select(col("query_id"), col("vec_id"), col("rank"))),
+    "ann2_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(synthEmb(s, d), synthQueries(s, d), dim = 64, k = 10,
+          planes = 10, maxFlips = 3)
+        .select(col("query_id"), col("vec_id"), col("rank"))),
 
     // ---------------- text analysis
     "t1_lang_dist" -> ((s, d) =>
@@ -330,27 +502,85 @@ object SparkEntry {
         .select(col("doc_id"),
           Funcs.extractTextUdf(html.cast("binary")).as("page_text"))
     }),
+    // T4: rolling-hash fingerprint over 8 pinned fixture texts — the oracle
+    // carries the precomputed literals (deterministic function, values
+    // pinned in the SQL so behavior drift fails the gate)
     "t4_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
-        TextAnalysis.fingerprintUdf(col("text")).as("fingerprint"))),
+        TextAnalysis.fingerprintUdf(pickByMod(col("doc_id"), t4Texts))
+          .as("fingerprint"))),
+    // T5: language id over one pinned text per profile language
     "t5_langid_detect" -> ((s, d) =>
-      TextAnalysis.withLanguage(t(s, d, "documents"))
-        .select("doc_id", "lang", "lang_detected")),
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.langIdUdf(pickByMod(col("doc_id"), t5Texts))
+          .as("lang_detected"))),
 
-    // ---------------- multimodal plumbing (stubbed decode, real schema)
+    // ---------------- multimodal: REAL image decode — synthesize PNGs with
+    // doc_id-derived dimensions, decode them back via javax.imageio
     "m1_media_meta" -> ((s, d) =>
       Multimodal.mediaMeta(
-        t(s, d, "documents").select(col("doc_id"), col("text").cast("binary").as("content")),
-        "content").select("doc_id", "media_hash", "format", "width", "height", "n_bytes")),
+        t(s, d, "documents").select(col("doc_id"), pngUdf(col("doc_id")).as("content")),
+        "content").select("doc_id", "format", "width", "height")),
+
+    // ---------------- metadata entity (core/metadata.go, queries.go:202-257)
+    // A4: content docs (planted: doc_id%7==0) having live metadata
+    "a4_meta_semi" -> ((s, d) => {
+      val content = t(s, d, "documents").filter(col("doc_id") % 7 === 0)
+      Metadata.contentWithMetadataCount(content,
+        concat(lit("1220"), sha2(col("text").cast("binary"), 256)),
+        metaFrame(s, d))
+    }),
+    // A6 twin over real metadata: DISTINCT ON (subject) latest for key
+    "a6b_latest_meta" -> ((s, d) =>
+      Metadata.latestForKey(metaFrame(s, d), "key1", limit = 40, offset = 5)),
+    // A8: count for key, excluding the empty-content sentinel hash
+    "a8_meta_count" -> ((s, d) =>
+      Metadata.countForKey(metaFrame(s, d), "key0")),
+
+    // ---------------- collections (core/collection.go, queries.go:4-110)
+    "j4b_collection_items" -> ((s, d) =>
+      Collections.items(collectionItemsFrame(s, d), urlIdFrame(s, d),
+        "coll3", limit = 20, offset = 5)),
+    "a7b_collection_length" -> ((s, d) =>
+      Collections.lengths(collectionItemsFrame(s, d))),
+
+    // ---------------- uncrawlables (queries.go:729-751): enqueue anti-gate
+    "p14_uncrawlable_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cands = docs.select(col("doc_id"), urlCol(col("doc_id")).as("url"))
+      val unc = docs.filter(col("doc_id") % 13 === 0)
+        .select(urlCol(col("doc_id")).as("url"))
+      Uncrawlables.gate(cands, unc).select("doc_id", "url")
+    }),
+
+    // ---------------- sources read API (handlers.go:110-230 list shape)
+    "s3_list_sources" -> ((s, d) => {
+      val sources = t(s, d, "documents")
+        .select((col("doc_id") % 50).as("n")).distinct()
+        .select(concat(lit("site"), col("n").cast("string"), lit(".example.com"))
+          .as("host"),
+          timestamp_seconds(lit(metaEpoch) + col("n")).as("created"),
+          (col("n") % 2 === 0).as("crawl"))
+      sources.filter(col("crawl"))
+        .orderBy(desc("created"), asc("host"))
+        .select("host", "created").offset(5).limit(10)
+    }),
 
     // ---------------- crawl-native operators (no SQL twin; rows-only)
     "f1_normalize" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         Funcs.normalizeUdf(concat(lit("HTTP://Site"), (col("doc_id") % 50).cast("string"),
           lit(".Example.COM:80//a/./doc/../d/"), col("doc_id").cast("string"))).as("normalized"))),
-    "f5_sniff" -> ((s, d) =>
+    // F5: Go http.DetectContentType over bodies whose sniffed type is
+    // planted by construction (html tag / pdf magic / plain text)
+    "f5_sniff" -> ((s, d) => {
+      val body = when(col("doc_id") % 3 === 0,
+          concat(lit("<html><body>"), col("text"), lit("</body></html>")))
+        .when(col("doc_id") % 3 === 1, concat(lit("%PDF-"), col("text")))
+        .otherwise(col("text"))
       t(s, d, "documents").select(col("doc_id"),
-        Funcs.sniffUdf(col("text").cast("binary")).as("content_sniff"))),
+        Funcs.sniffUdf(body.cast("binary")).as("content_sniff"))
+    }),
     "crawl1_fixture_urls" -> ((s, _) =>
       CrawlFixture.urls(s)),
     "crawl2_fixture_links" -> ((s, _) =>
@@ -429,15 +659,67 @@ object SparkEntry {
       "SELECT event_id, date_trunc('second', ts) AS ts_sec, date_trunc('hour', ts) AS ts_hour FROM events",
     "d1_dedup_exact" ->
       "SELECT text_hash, min(doc_id) AS keep_id, count(*) AS dup_count FROM (SELECT doc_id, sha256(text) AS text_hash FROM documents) GROUP BY text_hash",
+    // planted-corpus dedup truths: intra-cluster (doc_id//4) pairs only
+    "d2_minhash_pairs" ->
+      "SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id",
+    "d3_simhash_pairs" ->
+      "SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(0 AS INT) AS hamming FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id",
+    "d4_jaccard_verified" ->
+      "SELECT a.doc_id AS a_id, b.doc_id AS b_id, round(24.0 / 26.0, 4) AS jaccard FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id",
     "d5_embed_exact_dup" ->
-      "SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM embeddings a JOIN embeddings b ON a.embedding = b.embedding AND a.vec_id < b.vec_id",
+      "SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM embeddings a JOIN embeddings b ON a.vec_id % 97 = b.vec_id % 97 AND a.vec_id < b.vec_id",
+    "d6_embed_cosine_pairs" ->
+      "SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND abs((a.vec_id % 97) - (b.vec_id % 97)) <= 9",
+    "ann1_bruteforce_topk" -> annOracleSql,
+    "ann2_lsh_topk" -> annOracleSql,
     "t1_lang_dist" -> "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "t6_extract_text" ->
       "SELECT doc_id, concat('Doc ', CAST(doc_id AS VARCHAR), ' alpha ', CAST(doc_id AS VARCHAR), ' beta') AS page_text FROM documents WHERE doc_id < 200",
     "t2_quality_signals" ->
       "SELECT doc_id, length(text) AS n_chars_c, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens, CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE round(CAST(length(text) AS DOUBLE) / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1), 4) END AS mean_tok_len FROM documents",
     "t3_token_count" ->
-      "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens FROM documents"
+      "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens FROM documents",
+    // pinned fingerprint literals for the 8 fixture texts (see t4Texts)
+    "t4_fingerprint" ->
+      ("SELECT doc_id, CASE doc_id % 8 " +
+        "WHEN 0 THEN -8983939793570292822 WHEN 1 THEN -8710937737434241121 " +
+        "WHEN 2 THEN -9183186900608415286 WHEN 3 THEN -9198202557504345232 " +
+        "WHEN 4 THEN -8710937737434241121 WHEN 5 THEN -9169214825758899158 " +
+        "WHEN 6 THEN -8710937737434241121 ELSE -9008839485748962652 END AS fingerprint FROM documents"),
+    "t5_langid_detect" ->
+      "SELECT doc_id, CASE doc_id % 6 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es' WHEN 4 THEN 'it' ELSE 'und' END AS lang_detected FROM documents",
+    "f1_normalize" ->
+      "SELECT doc_id, concat('http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/a/d/', CAST(doc_id AS VARCHAR)) AS normalized FROM documents",
+    "f5_sniff" ->
+      "SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'text/html; charset=utf-8' WHEN 1 THEN 'application/pdf' ELSE 'text/plain; charset=utf-8' END AS content_sniff FROM documents",
+    "f10_headers_map" ->
+      ("SELECT doc_id, " +
+        "concat('[\"Content-Length\",\"', CAST(n_chars AS VARCHAR), '\",\"Content-Type\",\"text/plain; charset=utf-8\"]') AS headers_json, " +
+        "concat('{\"Content-Length\":\"', CAST(n_chars AS VARCHAR), '\",\"Content-Type\":\"text/plain; charset=utf-8\"}') AS headers_map_json FROM documents"),
+    "m1_media_meta" ->
+      "SELECT doc_id, 'png' AS format, CAST(16 + doc_id % 32 AS INT) AS width, CAST(8 + doc_id % 16 AS INT) AS height FROM documents",
+    "a4_meta_semi" ->
+      s"WITH $metaSqlCtes SELECT count(*) AS n_content_with_meta FROM documents d WHERE d.doc_id % 7 = 0 AND EXISTS (SELECT 1 FROM meta m WHERE m.subject = '1220' || sha256(d.text) AND NOT m.deleted AND m.meta IS NOT NULL)",
+    "a6b_latest_meta" ->
+      s"WITH $metaSqlCtes SELECT hash, time_stamp, key_id, subject, prev FROM meta WHERE key_id = 'key1' AND NOT deleted QUALIFY row_number() OVER (PARTITION BY subject ORDER BY time_stamp DESC, hash DESC) = 1 ORDER BY subject LIMIT 40 OFFSET 5",
+    "a8_meta_count" ->
+      s"WITH $metaSqlCtes SELECT count(*) AS n FROM meta WHERE key_id = 'key0' AND hash <> '1220e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855'",
+    "j4b_collection_items" ->
+      s"WITH $collectionSqlCtes SELECT i.collection_id, i.url_id, u.url, u.title, i.idx FROM items i JOIN urlids u ON u.id = i.url_id WHERE i.collection_id = 'coll3' ORDER BY i.idx, i.url_id LIMIT 20 OFFSET 5",
+    "a7b_collection_length" ->
+      "SELECT collection_id, count(*) AS n_items FROM (SELECT 'coll' || CAST(doc_id % 10 AS VARCHAR) AS collection_id FROM documents) GROUP BY collection_id",
+    "p14_uncrawlable_gate" ->
+      s"SELECT doc_id, $urlsSql AS url FROM documents WHERE doc_id % 13 <> 0",
+    "s3_list_sources" ->
+      "SELECT host, created FROM (SELECT DISTINCT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host, TIMESTAMP '2017-01-01 00:00:00' + INTERVAL (doc_id % 50) SECOND AS created, (doc_id % 50) % 2 = 0 AS crawl FROM documents) WHERE crawl ORDER BY created DESC, host LIMIT 10 OFFSET 5",
+    // pinned golden rows from the deterministic fixture crawl (the
+    // crawl engine surfaced through the oracle gate as VALUES literals)
+    "crawl1_fixture_urls" ->
+      "SELECT * FROM (VALUES ('ftp://ftp.6te.net/', CAST(0 AS INT), '', '', CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(0 AS BIGINT)), ('http://127.0.0.1:8002', CAST(200 AS INT), 'text/html; charset=utf-8', 'ChinchilasAreFun.com', TIMESTAMP '2017-01-01 00:00:02', CAST(NULL AS TIMESTAMP), CAST(1246 AS BIGINT)), ('http://127.0.0.1:8002/gallery.html', CAST(200 AS INT), 'text/html; charset=utf-8', 'ChinchilasAreFun.com', TIMESTAMP '2017-01-01 00:00:17', TIMESTAMP '2017-01-01 00:00:09', CAST(369 AS BIGINT)), ('http://127.0.0.1:8002/index.html', CAST(200 AS INT), 'text/html; charset=utf-8', 'ChinchilasAreFun.com', TIMESTAMP '2017-01-01 00:00:33', TIMESTAMP '2017-01-01 00:00:26', CAST(1246 AS BIGINT)), ('http://127.0.0.1:8002/styles.css', CAST(200 AS INT), 'text/plain; charset=utf-8', '', TIMESTAMP '2017-01-01 00:00:10', CAST(NULL AS TIMESTAMP), CAST(0 AS BIGINT)), ('http://reddit.com', CAST(0 AS INT), '', '', CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(0 AS BIGINT)), ('http://yahoo.com', CAST(0 AS INT), '', '', CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(0 AS BIGINT)), ('https://google.com/', CAST(0 AS INT), '', '', CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(0 AS BIGINT)), ('mailto:somerandomemai@domain.co.ck', CAST(0 AS INT), '', '', CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP), CAST(0 AS BIGINT))) AS t(url, status, content_sniff, title, last_get, last_head, content_length)",
+    "crawl2_fixture_links" ->
+      "SELECT * FROM (VALUES ('http://127.0.0.1:8002', 'ftp://ftp.6te.net/', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'http://127.0.0.1:8002/gallery.html', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'http://127.0.0.1:8002/styles.css', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'http://reddit.com', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'http://yahoo.com', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'https://google.com/', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'mailto:somerandomemai@domain.co.ck', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002/gallery.html', 'http://127.0.0.1:8002/index.html', TIMESTAMP '2017-01-01 00:00:17'), ('http://127.0.0.1:8002/gallery.html', 'http://127.0.0.1:8002/styles.css', TIMESTAMP '2017-01-01 00:00:17'), ('http://127.0.0.1:8002/index.html', 'ftp://ftp.6te.net/', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'http://127.0.0.1:8002/gallery.html', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'http://127.0.0.1:8002/styles.css', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'http://reddit.com', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'http://yahoo.com', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'https://google.com/', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'mailto:somerandomemai@domain.co.ck', TIMESTAMP '2017-01-01 00:00:33')) AS t(src, dst, created)",
+    "crawl3_fixture_order" ->
+      "SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002', CAST(1 AS BIGINT), 'ok'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'HEAD', 'http://127.0.0.1:8002/gallery.html', CAST(4311744514 AS BIGINT), 'ok'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), '127.0.0.1:8002', 'B', 'GET', 'http://127.0.0.1:8002/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), 'google.com', 'A', 'GET', 'https://google.com/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), 'reddit.com', 'A', 'GET', 'http://reddit.com/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), 'yahoo.com', 'A', 'GET', 'http://yahoo.com/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), '127.0.0.1:8002', 'B', 'GET', 'http://127.0.0.1:8002/styles.css', CAST(4311744513 AS BIGINT), 'ok'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), 'google.com', 'A', 'HEAD', 'https://google.com/', CAST(4311744513 AS BIGINT), 'error'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), 'reddit.com', 'A', 'HEAD', 'http://reddit.com', CAST(4311744513 AS BIGINT), 'error'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), 'yahoo.com', 'A', 'HEAD', 'http://yahoo.com', CAST(4311744513 AS BIGINT), 'error'), (CAST(2 AS BIGINT), CAST(16.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002/gallery.html', CAST(8606711809 AS BIGINT), 'ok'), (CAST(3 AS BIGINT), CAST(24.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'HEAD', 'http://127.0.0.1:8002/styles.css', CAST(12901679105 AS BIGINT), 'ok'), (CAST(3 AS BIGINT), CAST(25.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'HEAD', 'http://127.0.0.1:8002/index.html', CAST(12901679106 AS BIGINT), 'ok'), (CAST(4 AS BIGINT), CAST(32.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002/index.html', CAST(17196646401 AS BIGINT), 'ok'), (CAST(5 AS BIGINT), CAST(40.0 AS DOUBLE), 'google.com', 'A', 'HEAD', 'https://google.com/', CAST(21491613697 AS BIGINT), 'error'), (CAST(5 AS BIGINT), CAST(40.0 AS DOUBLE), 'reddit.com', 'A', 'HEAD', 'http://reddit.com', CAST(21491613697 AS BIGINT), 'error'), (CAST(5 AS BIGINT), CAST(40.0 AS DOUBLE), 'yahoo.com', 'A', 'HEAD', 'http://yahoo.com', CAST(21491613697 AS BIGINT), 'error')) AS t(wave, vt, host, lane, method, url, seq, outcome)"
   )
 }
 

@@ -74,4 +74,21 @@ final class Api(sched: Scheduler) {
       count(lit(1)).as("urls"),
       count(col("last_get")).as("fetched"),
       sum(when(col("last_get").isNull, 1).otherwise(0)).as("unfetched"))
+
+  /** GET /sources (handlers.go:110-140; qSourcesList: created desc,
+    * paginated). The sources table is the crawl's seed catalog. */
+  def listSources(limit: Int, offset: Int): DataFrame =
+    sched.sourcesDF.orderBy(desc("created"), asc("url"))
+      .offset(offset).limit(limit)
+
+  /** GET /sources?crawling=true twin (qSourcesCrawling, queries.go:455-464). */
+  def crawlingSources(limit: Int, offset: Int): DataFrame =
+    sched.sourcesDF.filter(col("crawl") === true)
+      .orderBy(desc("created"), asc("url"))
+      .offset(offset).limit(limit)
+
+  /** GET /uncrawlables (qUncrawlablesList, queries.go:753-765). */
+  def listUncrawlables(limit: Int, offset: Int): DataFrame =
+    sched.uncrawlablesView.orderBy(desc("created"), asc("url"))
+      .offset(offset).limit(limit)
 }

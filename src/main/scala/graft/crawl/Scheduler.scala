@@ -21,6 +21,8 @@ final case class CrawlConfig(
     useBloomPrefilter: Boolean = true, // A9: bloom URL-seen prefilter ahead of the exact anti-join
     bloomExpectedItems: Long = 1L << 20,
     bloomFpp: Double = 0.01,
+    bloomShards: Int = 8,   // per-shard Bloom files; never one driver-held filter
+    urlBuckets: Int = 16,   // urls table hash-bucket partitioning (O(delta) waves)
     compactEvery: Int = 8)
 
 /** The crawl scheduler: sentry's three-fetcher pipeline
@@ -92,14 +94,28 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   private def hostStateDF: DataFrame =
     store.readLatest("host_state").getOrElse(emptyDF[HostStateRow])
 
+  /** urls hash bucket (partition column of the urls table). */
+  private def bucketCol(c: Column): Column =
+    pmod(xxhash64(c), lit(cfg.urlBuckets)).cast("int")
+
   /** urls merge-on-read view: latest (wave, prio) row per url wins. */
-  def urlsView: DataFrame =
+  def urlsView: DataFrame = urlsViewBuckets(None)
+
+  /** Bucket-pruned MOR view: with `buckets` set, the filter on the
+    * partition column prunes the parquet scan to just those directories
+    * (Iceberg bucket-partition pruning equivalent) BEFORE the dedup window —
+    * a wave that touches k urls reads O(k/B * table) rows, not O(table). */
+  def urlsViewBuckets(buckets: Option[Seq[Int]]): DataFrame =
     store.readAppendOnly("urls") match {
       case None => emptyDF[UrlRow]
-      case Some(df) =>
+      case Some(df0) =>
+        val df = buckets match {
+          case Some(bs) => df0.filter($"ubucket".isin(bs: _*))
+          case None     => df0
+        }
         val w = Window.partitionBy("url").orderBy(desc("w_wave"), desc("w_prio"))
         df.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1)
-          .drop("rn_", "w_wave", "w_prio")
+          .drop("rn_", "w_wave", "w_prio", "ubucket")
     }
 
   /** links view: first (src,dst) row wins (Read-or-Insert, link.go:47-79). */
@@ -112,6 +128,10 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     store.readAppendOnly("fetch_log").getOrElse(emptyDF[FetchLogRow])
   def lineageView: DataFrame =
     store.readAppendOnly("lineage").getOrElse(emptyDF[LineageRow])
+  /** The manual don't-crawl list (core/queries.go:729-751). */
+  def uncrawlablesView: DataFrame =
+    store.readAppendOnly("uncrawlables")
+      .getOrElse(Seq.empty[(String, java.sql.Timestamp)].toDF("url", "created"))
   def pagesDF: DataFrame = store.readLatest("pages").get
   def sourcesDF: DataFrame = store.readLatest("sources").get
 
@@ -126,7 +146,10 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   // -------------------------------------------------------------- one wave
 
   final case class WaveStats(wave: Long, taken: Long, fetchedOk: Long,
-      enqueued: Long, frontierDepth: Long)
+      enqueued: Long, frontierDepth: Long, urlsRead: Long = 0L)
+
+  private def perShardItems: Long =
+    math.max(64L, cfg.bloomExpectedItems / cfg.bloomShards)
 
   def runWave(w: Long): WaveStats = {
     store.resetPending()
@@ -137,29 +160,35 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     val staleBefore = nowSec - cfg.staleDurationSec
 
     val frontier0 = frontierDF
-    // localCheckpoint truncates the logical plan: the MOR view and the wave's
-    // reused intermediates otherwise re-nest into each other (urlsEff appears
-    // 4x inside urlsAfter), exploding plan size exponentially across reuse
-    val urls0 = urlsView.localCheckpoint()
+    val uncrawl0 = uncrawlablesView.select("url")
     val hostState0 = hostStateDF
 
-    // URL-seen bloom (A9): load the checkpointed filter; if the state has
-    // urls but no filter (e.g. resume from a pre-bloom snapshot), rebuild it
-    // from the urls table — the documented restart path (SURVEY §7.4.6)
-    val seenBloom: Option[Bloom] =
+    // URL-seen sharded bloom (A9): the committed shard-file dir; a resume
+    // from a pre-bloom snapshot rebuilds shards from the urls table — the
+    // documented restart path (SURVEY §7.4.6). The driver never holds a
+    // filter object — shards live as files, loaded lazily per executor.
+    val bloomDir: Option[String] =
       if (!cfg.useBloomPrefilter) None
-      else store.readLatest("seen_bloom") match {
-        case Some(df) =>
-          Some(Bloom.deserialize(df.select("bloom").head().getAs[Array[Byte]](0)))
+      else store.readLatest("seen_bloom_meta") match {
+        case Some(df) => Some(df.select("dir").head().getString(0))
         case None if store.exists("urls") =>
-          Some(Bloom.build(spark, urls0, "url", cfg.bloomExpectedItems, cfg.bloomFpp))
-        case None => Some(Bloom.create(cfg.bloomExpectedItems, cfg.bloomFpp))
+          val dir = s"${store.rootPath}/seen_bloom/rebuild-v$w"
+          ShardedBloom.buildToDir(spark, urlsView.select("url"), "url",
+            cfg.bloomShards, perShardItems, cfg.bloomFpp, dir)
+          Some(dir)
+        case None => None
       }
     val queuedCount = frontier0.filter($"state" === StateQueued).count() // A10 gauge
 
     // ---- 1. seeding (crawler.go:139-153)
     val doSeed = w == 0 || queuedCount < cfg.lowWatermark
     val seedUrlCount = if (w == 0) cfg.seedUrlsInit else cfg.seedUrlsRefill
+    // Full urls MOR view only on seed waves (seeding scans table-wide for
+    // unfetched whitelisted urls); steady-state waves read only the hash
+    // buckets their keys touch (see urlsWave below). localCheckpoint
+    // truncates the logical plan: the reused intermediates otherwise re-nest
+    // (urlsEff appears 4x inside urlsAfter), exploding plan size.
+    val urlsSeedFull: DataFrame = if (doSeed) urlsView.localCheckpoint() else null
 
     val (seedRows, seedCreates, whitelist) = if (doSeed) {
       // qSourcesCrawling (queries.go:455-464): crawl=true order by created desc limit 200
@@ -179,13 +208,13 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       val srcSeedsGated =
         if (cfg.quiescent && w > 0)
           srcSeeds.join(
-            urls0.filter($"last_get".isNotNull &&
+            urlsSeedFull.filter($"last_get".isNotNull &&
               unix_timestamp($"last_get") >= staleBefore).select($"url".as("s_url")),
             Seq("s_url"), "left_anti")
         else srcSeeds
 
       // seedUrls (crawler.go:211-234): whitelisted unfetched, created desc
-      val unfetched = urls0.filter($"last_get".isNull)
+      val unfetched = urlsSeedFull.filter($"last_get".isNull)
         .withColumn("host", Funcs.hostUdf($"url"))
         .join(wl, Seq("host"), "left_semi")
         .orderBy(desc("created"), asc("url")).limit(seedUrlCount)
@@ -196,6 +225,9 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       val allSeeds = srcSeedsGated.unionByName(unfetched)
         .withColumn("rn_", row_number().over(Window.partitionBy($"s_url").orderBy($"kind", $"ord")))
         .filter($"rn_" === 1)
+        // uncrawlables gate: manually-blocked urls never enter the frontier
+        .join(broadcast(uncrawl0.select($"url".as("s_url"))),
+          Seq("s_url"), "left_anti")
         .join(frontier0.select($"url".as("s_url")), Seq("s_url"), "left_anti") // enqued map
         .withColumn("seq", lit(w * SeqStride) +
           row_number().over(Window.orderBy($"kind", $"ord")).cast("long"))
@@ -205,7 +237,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
 
       // AsUrl Read-or-Save: unseen source roots become url rows
       val creates = srcSeedsGated.select($"s_url".as("url")).distinct()
-        .join(urls0.select("url"), Seq("url"), "left_anti")
+        .join(urlsSeedFull.select("url"), Seq("url"), "left_anti")
         .select(newUrlRowCols($"url", nowTs): _*)
 
       (allSeeds, creates, wl)
@@ -306,8 +338,47 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       .select($"url", $"method", $"host", $"lane", $"wave", $"seq",
         lit(StateBlocked).as("state"))
 
-    // ---- 6. url writes (MOR appends)
-    val urlsEff = urls0.unionByName(seedCreates)
+    // ---- 6. link extraction first (F9) — HandleGetResponse stores links
+    // for every doc GET in all lanes (content_crawler only skips the
+    // *enqueue*). Runs before the url-table reads because the wave's url
+    // key-set (fetched urls + extracted dsts) determines which buckets of
+    // the urls table this wave must read at all.
+    val linksRaw = getOk.filter($"is_doc")
+      .select($"url".as("src"), $"seq".as("src_seq"), $"vt".as("src_vt"),
+        $"lane".as("src_lane"),
+        posexplode(Funcs.extractLinksUdf($"url", $"html")).as(Seq("href_idx", "dst")))
+      .localCheckpoint()
+
+    val linkRows = linksRaw
+      .withColumn("rn_", row_number().over(
+        Window.partitionBy($"src", $"dst").orderBy($"href_idx")))
+      .filter($"rn_" === 1)
+      .select(vtTs($"src_vt").as("created"), vtTs($"src_vt").as("updated"), $"src", $"dst")
+      .join(linksView.select($"src", $"dst"), Seq("src", "dst"), "left_anti")
+
+    // dst Read-or-Save (url.go:478-486)
+    val dstFirst = linksRaw
+      .withColumn("rn_", row_number().over(
+        Window.partitionBy($"dst").orderBy($"src_seq", $"href_idx")))
+      .filter($"rn_" === 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- 6b. the wave's urls slice: bucket-pruned to the keys this wave
+    // touches (fetched urls + extracted dsts) — O(delta) read; the full MOR
+    // view is only materialized on seed waves
+    val urlsWave: DataFrame =
+      if (doSeed) urlsSeedFull
+      else {
+        val keyUrls = budgeted.select($"url")
+          .unionByName(dstFirst.select($"dst".as("url")))
+        val buckets = keyUrls.select(bucketCol($"url").as("b")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        urlsViewBuckets(Some(buckets)).localCheckpoint()
+      }
+    val urlsReadCount = urlsWave.count()
+
+    // ---- 7. url writes (MOR appends)
+    val urlsEff = urlsWave.unionByName(seedCreates)
 
     val getUpdates = getOk.alias("g")
       .join(urlsEff.alias("u"), col("g.url") === col("u.url"), "inner") // u.Read must succeed
@@ -336,44 +407,23 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         col("u.hash").as("hash"))
       .localCheckpoint()
 
-    // ---- 7. link extraction (F9) — HandleGetResponse stores links for every
-    // doc GET in all lanes (content_crawler only skips the *enqueue*)
-    val linksRaw = getOk.filter($"is_doc")
-      .select($"url".as("src"), $"seq".as("src_seq"), $"vt".as("src_vt"),
-        $"lane".as("src_lane"),
-        posexplode(Funcs.extractLinksUdf($"url", $"html")).as(Seq("href_idx", "dst")))
-      .localCheckpoint()
-
-    val linkRows = linksRaw
-      .withColumn("rn_", row_number().over(
-        Window.partitionBy($"src", $"dst").orderBy($"href_idx")))
-      .filter($"rn_" === 1)
-      .select(vtTs($"src_vt").as("created"), vtTs($"src_vt").as("updated"), $"src", $"dst")
-      .join(linksView.select($"src", $"dst"), Seq("src", "dst"), "left_anti")
-
-    // dst Read-or-Save (url.go:478-486)
-    val dstFirst = linksRaw
-      .withColumn("rn_", row_number().over(
-        Window.partitionBy($"dst").orderBy($"src_seq", $"href_idx")))
-      .filter($"rn_" === 1)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // URL-seen check (J8/A9): bloom prefilter over the committed urls table —
-    // candidates the bloom rejects are definitely new (no false negatives)
-    // and skip the exact probe; only "maybe seen" pays the anti-join. The
-    // same-wave seedCreates delta (not yet in the bloom) is always checked.
+    // URL-seen check (J8/A9): sharded bloom prefilter over the committed
+    // urls table — candidates the bloom rejects are definitely new (no false
+    // negatives per shard) and skip the exact probe; only "maybe seen" pays
+    // the anti-join. The same-wave seedCreates delta (not yet in the bloom)
+    // is always checked.
     val dstNotSeeded = dstFirst
       .join(seedCreates.select($"url".as("dst")), Seq("dst"), "left_anti")
-    val dstNew = seenBloom match {
-      case Some(bloom) if cfg.useBloomPrefilter =>
-        val hit = Bloom.mightContainCol(spark, bloom, $"dst")
+    val dstNew = bloomDir match {
+      case Some(dir) =>
+        val hit = ShardedBloom.mightContainCol(dir, cfg.bloomShards, $"dst")
         val tagged = dstNotSeeded.withColumn("bloom_hit", hit)
         val definitelyNew = tagged.filter(!$"bloom_hit")
         val maybeSeen = tagged.filter($"bloom_hit")
-          .join(urls0.select($"url".as("dst")), Seq("dst"), "left_anti")
+          .join(urlsWave.select($"url".as("dst")), Seq("dst"), "left_anti")
         definitelyNew.unionByName(maybeSeen).drop("bloom_hit")
       case _ =>
-        dstNotSeeded.join(urls0.select($"url".as("dst")), Seq("dst"), "left_anti")
+        dstNotSeeded.join(urlsWave.select($"url".as("dst")), Seq("dst"), "left_anti")
     }
     val dstCreates = dstNew
       .select(newUrlRowCols($"dst", vtTs($"src_vt")): _*)
@@ -428,6 +478,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         Window.partitionBy($"url").orderBy($"ord1", $"ord2")))
       .filter($"rn_" === 1)
       .join(frontierAfterTake.select("url"), Seq("url"), "left_anti") // enqued map check
+      .join(broadcast(uncrawl0), Seq("url"), "left_anti") // uncrawlables gate
       // seq only needs to order within a host (per-host FIFO, T3) — a
       // per-host window keeps this parallel at any frontier size; a global
       // row_number here would single-partition the wave
@@ -477,7 +528,10 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       val v = if (append) store.stageAppend(table, df) else store.stageRewrite(table, df)
       staged += (table -> v)
     }
-    stage("urls", urlAppends, append = true)
+    // cluster the delta by bucket so each output file covers few buckets —
+    // the bucket isin-filter then skips whole files via parquet stats
+    staged += ("urls" -> store.stageAppend("urls",
+      urlAppends.repartition(col("ubucket"))))
     stage("links", linkRows, append = true)
     stage("snapshots", snapshotRows, append = true)
     stage("fetch_log", fetchLogRows, append = true)
@@ -485,15 +539,26 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     stage("host_state", hostStateOut, append = false)
     if (doSeed) stage("whitelist", whitelist, append = false)
 
-    // merge this wave's new urls into the seen bloom and checkpoint it
-    // (dstCreates is already materialized, so the prefilter broadcast above
-    // saw the pre-merge filter — ordering is safe)
-    seenBloom.foreach { bloom =>
+    // merge this wave's new urls into the sharded seen bloom: per-shard
+    // delta blooms built distributed, OR-merged into the previous version's
+    // shard files executor-side, published as a new version dir with the
+    // wave's manifest (dstCreates is already materialized, so the probe
+    // above saw the pre-merge filters — ordering is safe)
+    if (cfg.useBloomPrefilter) {
       val newUrls = seedCreates.select("url").unionByName(dstCreates.select("url"))
-      val delta = Bloom.build(spark, newUrls, "url", cfg.bloomExpectedItems, cfg.bloomFpp)
-      val merged = bloom.mergeInPlace(delta)
-      stage("seen_bloom",
-        Seq((w, merged.serialize)).toDF("wave", "bloom"), append = false)
+      // empty delta: re-point the manifest at the previous shard dir instead
+      // of rebuilding — most steady-state waves add few or no urls
+      val anyNew = !newUrls.isEmpty
+      val newDir =
+        if (anyNew || bloomDir.isEmpty) {
+          val d = s"${store.rootPath}/seen_bloom/v$w"
+          ShardedBloom.buildToDir(spark, newUrls, "url", cfg.bloomShards,
+            perShardItems, cfg.bloomFpp, d, bloomDir)
+          d
+        } else bloomDir.get
+      stage("seen_bloom_meta",
+        Seq((w, newDir, cfg.bloomShards)).toDF("wave", "dir", "shards"),
+        append = false)
     }
 
     // per-partition lineage of the committed files (T10 resumability
@@ -520,12 +585,13 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
 
     store.commitWave(w)
 
-    Seq(urls0, frontierIn, robotsFetched, budgeted, fetched, getOk, headHtml,
-      getUpdates, headUpdates, linksRaw, dstFirst, dstCreates, frontierAfterTake,
-      newEnqueues, whitelist)
+    Seq(urlsSeedFull, urlsWave, frontierIn, robotsFetched, budgeted, fetched,
+      getOk, headHtml, getUpdates, headUpdates, linksRaw, dstFirst, dstCreates,
+      frontierAfterTake, newEnqueues, whitelist)
+      .filter(_ != null)
       .foreach(df => try df.unpersist() catch { case _: Throwable => () })
 
-    WaveStats(w, takenCount, okCount, enqCount, depth)
+    WaveStats(w, takenCount, okCount, enqCount, depth, urlsReadCount)
   }
 
   // -------------------------------------------------------------- run loops
@@ -576,10 +642,23 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     store.commitWave(store.currentWave)
   }
 
+  /** POST /uncrawlables twin (UncrawlableHandler): record a manual
+    * don't-crawl url and evict it from the queued frontier. */
+  def markUncrawlable(url: String): Unit = {
+    store.resetPending()
+    val w = store.currentWave
+    val ts = timestamp_seconds(lit(baseEpochSec + ((w + 1) * cfg.waveWindowSec).toLong))
+    store.stageAppend("uncrawlables",
+      Seq(Tuple1(url)).toDF("url").select($"url", ts.as("created")))
+    val f = frontierDF.filter(!($"url" === url && $"state" === StateQueued))
+    store.stageRewrite("frontier", f)
+    store.commitWave(w)
+  }
+
   /** Compact MOR tables (Iceberg rewrite_data_files equivalent). */
   def compactTables(): Unit = {
-    store.compact("urls", urlsView
-      .withColumn("w_wave", lit(store.currentWave)).withColumn("w_prio", lit(2)))
+    store.compact("urls",
+      withMor(urlsView, store.currentWave, 2).repartition(col("ubucket")))
     store.compact("links", linksView)
     store.compact("snapshots", snapshotsView)
     store.commitWave(store.currentWave)
@@ -617,6 +696,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
 
   private def withMor(df: DataFrame, w: Long, prio: Int): DataFrame =
     df.withColumn("w_wave", lit(w)).withColumn("w_prio", lit(prio))
+      .withColumn("ubucket", bucketCol(col("url")))
 
   /** urls state visible to same-wave reads: base ∪ this wave's writes. */
   private def urlsEffPlus(urlsEff: DataFrame, getUpd: DataFrame,

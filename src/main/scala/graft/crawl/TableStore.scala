@@ -30,6 +30,9 @@ import java.nio.charset.StandardCharsets
   */
 final class TableStore(spark: SparkSession, rootDir: String) {
 
+  /** Store root (shard-file state like the seen-bloom lives beside tables). */
+  def rootPath: String = rootDir
+
   private val root: Path = Paths.get(rootDir)
   Files.createDirectories(root)
 
@@ -86,7 +89,11 @@ final class TableStore(spark: SparkSession, rootDir: String) {
       case _: org.apache.spark.sql.AnalysisException => None
     }
 
-  /** Read the union of all committed versions (append-only tables). */
+  /** Read the union of all committed versions (append-only tables) as ONE
+    * multi-path scan (one codegen stage regardless of version count).
+    * Bucket-clustered tables (urls) carry their bucket as a data column
+    * clustered per file, so a bucket predicate prunes files/row-groups via
+    * parquet stats without directory-partition discovery. */
   def readAppendOnly(table: String): Option[DataFrame] = {
     val versions = committed.getOrElse(table, Nil)
     if (versions.isEmpty) None
@@ -101,9 +108,12 @@ final class TableStore(spark: SparkSession, rootDir: String) {
 
   /** Stage an append (new delta version). Data is durable immediately but
     * only becomes visible once commitWave() swaps the manifest. */
-  def stageAppend(table: String, df: DataFrame): Long = {
+  def stageAppend(table: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Long = {
     val next = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
-    df.write.mode("overwrite").parquet(tableDir(table, next).toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tableDir(table, next).toString)
     pendingVersions = pendingVersions.updated(table, pendingVersions.getOrElse(table, Nil) :+ next)
     next
   }
@@ -135,9 +145,12 @@ final class TableStore(spark: SparkSession, rootDir: String) {
 
   /** Compact an append-only/MOR table: materialize `view` as a single new
     * version and drop history (Iceberg rewrite_data_files equivalent). */
-  def compact(table: String, view: DataFrame): Unit = {
+  def compact(table: String, view: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
     val next = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
-    view.write.mode("overwrite").parquet(tableDir(table, next).toString)
+    val w = view.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tableDir(table, next).toString)
     pendingVersions = pendingVersions.updated(table, Seq(next))
   }
 }

@@ -106,12 +106,31 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Cap LSH bucket width before a self-join: buckets wider than `cap` are
+    * dropped from the candidate generation (a corpus with millions of
+    * byte-identical docs otherwise makes one bucket and an O(b^2) self-join
+    * — the round-1 scale hazard). Exact duplicates inside an oversized
+    * bucket are still found by `exactGroups`, which is the prescribed
+    * first-stage route for identical texts; LSH is for *near* duplicates.
+    */
+  private def capBuckets(banded: DataFrame, cap: Int,
+      keys: Seq[String]): DataFrame = {
+    if (cap <= 0) banded
+    else {
+      val w = Window.partitionBy(keys.map(col): _*)
+      banded.withColumn("bwidth_", count(lit(1)).over(w))
+        .filter(col("bwidth_") <= cap).drop("bwidth_")
+    }
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs.
     * shingle → minhash(numHashes) → band (bands × rowsPerBand) → bucket join.
     * Returns (a_id, b_id, est_jaccard) with a_id < b_id, deduped.
+    * Buckets wider than `maxBucket` are excluded (see capBuckets).
     */
   def minhashPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 64,
-      bands: Int = 16, minEstJaccard: Double = 0.5): DataFrame = {
+      bands: Int = 16, minEstJaccard: Double = 0.5,
+      maxBucket: Int = 4096): DataFrame = {
     val rowsPer = numHashes / bands
     val sigs = docs.select(col("doc_id"), col("text"),
       minhashUdf(col("text"), lit(k), lit(numHashes)).as("sig"))
@@ -121,9 +140,11 @@ object Dedup {
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * rowsPer + 1, rowsPer), lit(b)).cast("long")
           .as("bucket"))): _*)
-    val banded = sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("bc"))
-      .select(col("doc_id"), col("sig"), col("bc.band").as("band"),
-        col("bc.bucket").as("bucket"))
+    val banded = capBuckets(
+      sigs.select(col("doc_id"), col("sig"), explode(bandStructs).as("bc"))
+        .select(col("doc_id"), col("sig"), col("bc.band").as("band"),
+          col("bc.bucket").as("bucket")),
+      maxBucket, Seq("band", "bucket"))
 
     val pairs = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -142,14 +163,17 @@ object Dedup {
 
   /** SimHash near-dup pairs: 4×16-bit chunk banding guarantees recall for
     * hamming distance <= 3 (pigeonhole), then exact hamming filter. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhashUdf(col("text")).as("sim"))
     val chunkStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)
-    val banded = sigs.select(col("doc_id"), col("sim"), explode(chunkStructs).as("bc"))
-      .select(col("doc_id"), col("sim"), col("bc.band").as("band"),
-        col("bc.chunk").as("chunk"))
+    val banded = capBuckets(
+      sigs.select(col("doc_id"), col("sim"), explode(chunkStructs).as("bc"))
+        .select(col("doc_id"), col("sim"), col("bc.band").as("band"),
+          col("bc.chunk").as("chunk")),
+      maxBucket, Seq("band", "chunk"))
     banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -174,16 +198,37 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
-  /** Embedding cosine near-dup pairs via deterministic hyperplane LSH
-    * bucketing (no UDF in the dot products — functions.zip_with/aggregate). */
-  def embeddingDupPairs(emb: DataFrame, dim: Int, planes: Int = 12,
-      minCosine: Double = 0.95, seed: Long = 7L): DataFrame = {
-    val sigCol = Similarity.hyperplaneSig(col("embedding"), dim, planes, seed)
-    val sigs = emb.select(col("vec_id"), col("embedding"), sigCol.as("bucket"))
-    val pairs = sigs.alias("a").join(sigs.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+  /** Embedding cosine near-dup pairs: banded hyperplane LSH (OR of `bands`
+    * AND-bands of `rowsPerBand` hyperplanes each) + exact cosine verify.
+    *
+    * Round 1 used a single 12-plane AND band — recall ~(1-theta/pi)^12 ~ 0.28
+    * at cosine 0.95, i.e. it silently missed most near-dups. The banded
+    * OR-construction (same layout as minhashPairs) gives
+    * P(candidate) = 1-(1-p^r)^b with p = 1-theta/pi: at cosine 0.95
+    * (theta <= 0.318, p >= 0.899) and r=4, b=24 the miss probability per true
+    * pair is ~2e-12. Candidates then pass an exact cosine filter, so false
+    * positives cost time, never correctness. Buckets wider than `maxBucket`
+    * are excluded (capBuckets) — identical embeddings route through an exact
+    * hash-groupBy instead.
+    */
+  def embeddingDupPairs(emb: DataFrame, dim: Int, rowsPerBand: Int = 4,
+      bands: Int = 24, minCosine: Double = 0.95, seed: Long = 7L,
+      maxBucket: Int = 4096): DataFrame = {
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        Similarity.hyperplaneSig(col("embedding"), dim, rowsPerBand,
+          seed + 0x51ed2701L * b).as("bucket"))): _*)
+    val banded = capBuckets(
+      emb.select(col("vec_id"), col("embedding"), explode(bandStructs).as("bc"))
+        .select(col("vec_id"), col("embedding"), col("bc.band").as("band"),
+          col("bc.bucket").as("bucket")),
+      maxBucket, Seq("band", "bucket"))
+    val pairs = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("a_id", "b_id")
     pairs.withColumn("cosine", Similarity.cosineCol(col("ea"), col("eb")))
       .filter(col("cosine") >= minCosine)
       .select("a_id", "b_id", "cosine")

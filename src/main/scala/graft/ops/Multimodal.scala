@@ -7,11 +7,10 @@ import org.apache.spark.sql.functions._
   * with typed metadata.
   *
   * The Spark-side layout is real — schema, batched per-partition processing,
-  * deterministic partitioning — while the actual media decode is STUBBED
-  * (this container ships no image/audio codecs): `decodeStub` derives fake
-  * but deterministic metadata from the bytes (magic-number format sniff via
-  * graft.functions.Sniff + byte-derived dimensions). Swapping in a real
-  * decoder is a drop-in replacement of `decodeStub` inside the same
+  * deterministic partitioning. Image decode is REAL (JDK javax.imageio
+  * header read: png/jpeg/gif/bmp width/height); audio/video metadata is a
+  * declared deterministic STUB (no AV codecs in this container) — swapping
+  * in a real prober is a drop-in replacement of `avStub` inside the same
   * mapPartitions batch loop (the JVM analogue of mapInPandas batches).
   */
 object Multimodal {
@@ -23,21 +22,52 @@ object Multimodal {
   final case class DecodedRow(media_id: Long, format: String, width: Int,
       height: Int, duration_ms: Long, n_bytes: Long, feature: Array[Float])
 
-  /** STUB decoder — deterministic fake: metadata from sniffed format and
-    * byte statistics; replace with a real codec in production. */
-  def decodeStub(bytes: Array[Byte]): MediaMeta = {
-    val fmt = graft.functions.Sniff.detectContentType(bytes) match {
+  /** Decoder: REAL header decode for image formats the JDK ships codecs for
+    * (png/jpeg/gif/bmp via javax.imageio — width/height read from the image
+    * header only, no full raster decode, so cost per row is O(header), not
+    * O(pixels)); audio/video metadata remains a declared deterministic STUB
+    * (this container ships no AV codecs — swap `avStub` for a real probe). */
+  def decode(bytes: Array[Byte]): MediaMeta = {
+    val sniffed = graft.functions.Sniff.detectContentType(bytes)
+    val fmt = sniffed match {
       case s if s.startsWith("image/") => s.stripPrefix("image/")
       case s if s.startsWith("audio/") => s.stripPrefix("audio/")
       case s if s.startsWith("video/") => s.stripPrefix("video/")
       case _                           => "unknown"
     }
     val n = if (bytes == null) 0 else bytes.length
-    // ??? real decode goes here; fake dims derived from content length
-    val w = if (n == 0) 0 else 64 + (n % 1024)
-    val h = if (n == 0) 0 else 64 + ((n / 7) % 1024)
-    MediaMeta(fmt, w.toInt, h.toInt, n.toLong * 8, n.toLong)
+    if (sniffed.startsWith("image/")) {
+      // corrupt/truncated bytes are the norm in crawled media: a failed
+      // header parse degrades to (0,0) dims, never a task failure
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              MediaMeta(fmt, r.getWidth(0), r.getHeight(0), 0L, n.toLong)
+            } finally r.dispose()
+          } else MediaMeta(fmt, 0, 0, 0L, n.toLong) // no JDK codec for this format
+        } finally if (iis != null) iis.close()
+      } catch {
+        case _: java.io.IOException | _: RuntimeException =>
+          MediaMeta(fmt, 0, 0, 0L, n.toLong)
+      }
+    } else if (sniffed.startsWith("audio/") || sniffed.startsWith("video/")) {
+      avStub(fmt, n)
+    } else MediaMeta(fmt, 0, 0, 0L, n.toLong)
   }
+
+  /** STUB A/V metadata — deterministic fake duration from byte length;
+    * ??? a real container probe (mp4 moov / ogg pages) goes here. */
+  private def avStub(fmt: String, n: Int): MediaMeta =
+    MediaMeta(fmt, 0, 0, n.toLong * 8, n.toLong)
+
+  @deprecated("use decode — kept for round-1 spec compatibility", "r2")
+  def decodeStub(bytes: Array[Byte]): MediaMeta = decode(bytes)
 
   /** STUB feature extractor: fixed-size float vector from byte histogram —
     * the shape (batched, per-partition, fixed dim) is what matters. */
@@ -61,7 +91,7 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition decoder context would be initialized here
       it.map { row =>
-        val m = decodeStub(row.content)
+        val m = decode(row.content)
         DecodedRow(row.media_id, m.format, m.width, m.height, m.duration_ms,
           m.n_bytes, featureStub(row.content))
       }
@@ -70,7 +100,7 @@ object Multimodal {
 
   /** Column-level variant for DataFrame pipelines. */
   val decodeMetaUdf = udf { (bytes: Array[Byte]) =>
-    val m = decodeStub(bytes)
+    val m = decode(bytes)
     (m.format, m.width, m.height, m.duration_ms, m.n_bytes)
   }
 

@@ -24,24 +24,38 @@ object Similarity {
   def cosineCol(a: Column, b: Column): Column =
     dotCol(a, b) / (normCol(a) * normCol(b))
 
-  /** Deterministic hyperplane signature: bit i = sign(dot(v, r_i)) where
-    * r_i components come from splitmix64(seed, i*dim+j) mapped to ±1.
-    * One compact kernel over the array (a dim×planes expression tree made
+  /** Deterministic hyperplane signature: bit i = sign(dot(v, r_i)) with
+    * GAUSSIAN normals r_i derived from splitmix64(seed, ...) via Box-Muller
+    * (classic sign-random-projection LSH). Gaussian — not Rademacher ±1 —
+    * matters: ±1 normals restricted to a low-dimensional subspace of the
+    * data collapse to a handful of boundary directions (in a 2-effective-dim
+    * embedding they give exactly two boundary lines, so pairs straddling one
+    * of them are split by ~half of ALL planes in every band — measured as a
+    * deterministic recall hole in round 2). Gaussian normals are rotation-
+    * invariant, so P(plane splits pair) = theta/pi holds in any subspace.
+    * One compact kernel over the array (a dim x planes expression tree made
     * planning and codegen the bottleneck — measured 7x slower). */
   def hyperplaneSig(v: Column, dim: Int, planes: Int, seed: Long): Column = {
-    val signs: Array[Array[Float]] = Array.tabulate(planes, dim) { (i, j) =>
-      var z = seed + (i.toLong * dim + j) * 0x9e3779b97f4a7c15L
+    @inline def mix(i: Long): Long = {
+      var z = seed + i * 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d9eecb0b2b6e3bL
-      z = z ^ (z >>> 31)
-      if (z >= 0) 1.0f else -1.0f
+      z ^ (z >>> 31)
+    }
+    @inline def unit(z: Long): Double = // (0,1]
+      ((z >>> 11) + 1).toDouble / (1L << 53).toDouble
+    val normals: Array[Array[Float]] = Array.tabulate(planes, dim) { (i, j) =>
+      val k = i.toLong * dim + j
+      val u1 = unit(mix(2 * k))
+      val u2 = unit(mix(2 * k + 1))
+      (math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)).toFloat
     }
     val f = udf { (vec: Array[Float]) =>
       var sig = 0L
       var i = 0
       while (i < planes) {
         var dot = 0.0
-        val row = signs(i)
+        val row = normals(i)
         var j = 0
         val n = math.min(dim, vec.length)
         while (j < n) { dot += vec(j) * row(j); j += 1 }
@@ -64,16 +78,38 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cosine")
   }
 
-  /** LSH-bucketed ANN top-k: candidates restricted to the query's bucket. */
+  /** Multi-probe LSH ANN top-k.
+    *
+    * Single-bucket probing has recall ~(1-theta/pi)^planes — useless at 10+
+    * planes (measured 7/50 rows vs brute force in round 1). Multi-probe
+    * recovers recall without more tables: each query probes every bucket
+    * within `maxFlips` Hamming distance of its own signature (the standard
+    * multi-probe LSH construction — perturb the signature bits most likely
+    * to have landed on the wrong side of a hyperplane; we probe all of them,
+    * which is strictly better and still only sum C(planes,f) buckets).
+    *
+    * Scale shape: probes explode the *query* side only (queries << corpus),
+    * the corpus is signed once and shuffled/broadcast-joined on bucket;
+    * candidates dedup on (query_id, vec_id) before the cosine evaluation, so
+    * cost is (probed-bucket population) x queries, never O(corpus x queries).
+    */
   def lshTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
-      planes: Int = 10, seed: Long = 7L): DataFrame = {
+      planes: Int = 10, seed: Long = 7L, maxFlips: Int = 3): DataFrame = {
+    require(planes <= 20, "probe mask enumeration requires planes <= 20")
     val embB = emb.withColumn("bucket",
       hyperplaneSig(col("embedding"), dim, planes, seed))
-    val qB = queries.withColumn("bucket",
+    val qSig = queries.withColumn("sig",
       hyperplaneSig(col("query_vec"), dim, planes, seed))
-    val scored = embB.alias("e").join(broadcast(qB.alias("q")), Seq("bucket"))
-      .select(col("q.query_id"), col("e.vec_id"),
-        cosineCol(col("q.query_vec"), col("e.embedding")).as("cosine"))
+    val masks: Seq[Long] = (0L until (1L << planes))
+      .filter(m => java.lang.Long.bitCount(m) <= maxFlips)
+    val qProbes = qSig.withColumn("bucket",
+      explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
+    val cand = embB.alias("e").join(broadcast(qProbes.alias("q")), Seq("bucket"))
+      .select(col("q.query_id"), col("q.query_vec"), col("e.vec_id"),
+        col("e.embedding"))
+      .dropDuplicates("query_id", "vec_id")
+    val scored = cand.select(col("query_id"), col("vec_id"),
+      cosineCol(col("query_vec"), col("embedding")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "rank", "cosine")

@@ -53,15 +53,56 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.jaccard("a b c d e", "a b c d e", 3) == 1.0)
   }
 
-  test("embedding dup pairs via hyperplane LSH") {
+  test("embedding dup pairs via banded hyperplane LSH") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
       (1L, Array(1.0f, 0.01f, 0.0f, 0.1f)), // near 0
       (2L, Array(-1.0f, 0.2f, 0.9f, -0.3f))
     ).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingDupPairs(emb, dim = 4, planes = 4, minCosine = 0.99)
-      .collect()
+    val pairs = Dedup.embeddingDupPairs(emb, dim = 4, rowsPerBand = 2, bands = 8,
+      minCosine = 0.99).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
+  test("banded embedding LSH recalls planted 0.95-cosine near-dups") {
+    // 40 clusters of 3 vectors within ~2.3deg (cosine >= 0.999), clusters
+    // ~18deg apart (cosine <= 0.95 across) on the unit circle in 8-d
+    val emb = (0L until 120L).map { i =>
+      val theta = (i / 3) * 0.32 + (i % 3) * 0.02
+      (i, Array(math.cos(theta).toFloat, math.sin(theta).toFloat,
+        0f, 0f, 0f, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(emb, dim = 8, rowsPerBand = 4,
+      bands = 24, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth by exact cosine (angles wrap the circle, so distant ids
+    // can also be genuinely close — expected = all pairs at cos >= 0.99)
+    def theta(i: Long): Double = (i / 3) * 0.32 + (i % 3) * 0.02
+    val expected = (0L until 120L).flatMap(a => (a + 1 until 120L)
+      .filter(b => math.cos(theta(a) - theta(b)) >= 0.9901)
+      .map(b => (a, b))).toSet
+    val boundary = (0L until 120L).flatMap(a => (a + 1 until 120L)
+      .filter { b =>
+        val c = math.cos(theta(a) - theta(b))
+        c >= 0.9899 && c < 0.9901 // float-noise margin at the threshold
+      }.map(b => (a, b))).toSet
+    assert((pairs -- boundary) == (expected -- boundary),
+      s"missing=${(expected -- boundary) -- pairs} extra=${(pairs -- boundary) -- expected -- boundary}")
+  }
+
+  test("bucket cap bounds LSH blowup on mass-identical docs") {
+    // 10k byte-identical docs: uncapped banding would self-join one bucket
+    // into ~50M pairs; the cap drops the degenerate bucket entirely and
+    // exactGroups (the prescribed route for identical text) still finds them
+    val many = spark.range(10000)
+      .selectExpr("id AS doc_id", "'same text for every single doc here' AS text")
+    val pairs = Dedup.minhashPairs(many, k = 3, numHashes = 16, bands = 4,
+      minEstJaccard = 0.5, maxBucket = 1000)
+    assert(pairs.count() == 0L)
+    val sim = Dedup.simhashPairs(many, maxHamming = 3, maxBucket = 1000)
+    assert(sim.count() == 0L)
+    val g = Dedup.exactGroups(many).collect()
+    assert(g.length == 1 && g.head.getAs[Long]("dup_count") == 10000L)
   }
 }
 
@@ -85,18 +126,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2.getAs[Long]("vec_id") == 1L)
   }
 
-  test("LSH top-k recalls the true neighbor for clustered vectors") {
+  test("LSH top-k (single probe) recalls the true neighbor for clustered vectors") {
     val emb = (0L until 50L).map { i =>
       val base = if (i % 2 == 0) Array(1.0f, 0.2f, 0.0f) else Array(0.0f, 0.3f, 1.0f)
       (i, base.map(v => v + (i % 5) * 0.01f))
     }.toDF("vec_id", "embedding")
     val q = emb.filter($"vec_id" === 0L)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
-    val top = Similarity.lshTopK(emb, q, dim = 3, k = 5, planes = 3)
+    val top = Similarity.lshTopK(emb, q, dim = 3, k = 5, planes = 3, maxFlips = 0)
     val ids = top.select("vec_id").as[Long].collect().toSet
     assert(ids.contains(0L))
-    // bucketed candidates must come from the same (even) cluster
+    // single-probe candidates must come from the same (even) cluster
     assert(ids.forall(_ % 2 == 0))
+  }
+
+  test("multi-probe LSH top-k recall >= 0.9 vs brute force on clustered data") {
+    // Hyperplane LSH retrieves NEAR neighbors; on uniform-random vectors the
+    // true top-10 sit at cosine ~0.3 (measured on the driver fixture) where
+    // no sublinear method has signal — so recall is asserted on a corpus
+    // with real neighbor structure (50 clusters x 10 near-identical points),
+    // the training-data near-dup retrieval contract.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(50)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val emb = (0L until 500L).map { i =>
+      val c = centers((i / 10).toInt)
+      (i, c.map(v => v + rnd.nextGaussian().toFloat * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" % 50L === 3L).limit(10)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val truth = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.lshTopK(emb, q, dim = 64, k = 10, planes = 10,
+        maxFlips = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall")
   }
 }
 
@@ -136,12 +200,24 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
-  test("decode stub: deterministic metadata from bytes") {
+  test("decode: real PNG header decode via javax.imageio") {
+    val img = new java.awt.image.BufferedImage(
+      20, 11, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val m = Multimodal.decode(bos.toByteArray)
+    assert(m.format == "png")
+    assert(m.width == 20 && m.height == 11)
+    assert(m.n_bytes == bos.size().toLong)
+  }
+
+  test("decode: corrupt image bytes degrade to zero dims, never throw") {
     val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 1, 2, 3)
-    val m = Multimodal.decodeStub(jpeg)
+    val m = Multimodal.decode(jpeg)
     assert(m.format == "jpeg")
+    assert(m.width == 0 && m.height == 0)
     assert(m.n_bytes == 6L)
-    assert(Multimodal.decodeStub(jpeg) == m)
+    assert(Multimodal.decode(jpeg) == m)
   }
 
   test("batched decode over a Dataset keeps schema and row count") {

@@ -86,6 +86,55 @@ class ScaleCrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("steady-state waves read O(delta) rows from urls, not O(table)") {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("odelta-crawl"))
+    val s = new Scheduler(spark, store,
+      CrawlConfig(waveWindowSec = 48.0, seedSourcesLimit = 200, urlBuckets = 16))
+    val pages = Fixtures.scaleSitePages(spark, cfg).toDF()
+      .unionByName(Fixtures.pagesDF(spark, Fixtures.adminPages(cfg)))
+    s.bootstrap(pages, Fixtures.sourcesDF(spark,
+      Fixtures.scaleSiteSources(cfg, crawlingHosts = 4)))
+    val stats = s.run(maxWaves = 30)
+    val tableRows = s.urlsView.count()
+    // non-seed waves (wave > 0, frontier above watermark) must read only the
+    // buckets their candidate urls hash into — strictly less than the table
+    // once the table outgrows a single wave's candidate set
+    val steady = stats.filter(st => st.wave > 0 && st.taken > 0 &&
+      st.urlsRead > 0 && st.urlsRead < tableRows)
+    assert(steady.nonEmpty,
+      s"no wave read fewer urls rows than the table ($tableRows): " +
+        stats.map(st => s"w${st.wave}:taken=${st.taken},read=${st.urlsRead}").mkString(" "))
+    // and the pruned read is bucket-bounded: <= candidates/buckets share of
+    // the table plus slack (each candidate opens at most one bucket)
+    steady.foreach { st =>
+      val cands = st.taken + st.enqueued + 64
+      val maxBuckets = math.min(16L, cands)
+      assert(st.urlsRead <= (tableRows * maxBuckets) / 16 + 64,
+        s"wave ${st.wave} read ${st.urlsRead} of $tableRows with ~$cands candidates")
+    }
+  }
+
+  test("uncrawlable urls are never enqueued or fetched") {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("uncrawl-crawl"))
+    val s = new Scheduler(spark, store, CrawlConfig(waveWindowSec = 48.0))
+    val pages = Fixtures.scaleSitePages(spark, cfg).toDF()
+      .unionByName(Fixtures.pagesDF(spark, Fixtures.adminPages(cfg)))
+    s.bootstrap(pages, Fixtures.sourcesDF(spark,
+      Fixtures.scaleSiteSources(cfg, crawlingHosts = 4)))
+    // block a page that the reference crawl provably fetches (from `sched`)
+    val victim = sched.fetchLogView
+      .filter($"outcome" === "ok" && $"seq" >= 0 && $"wave" >= 1)
+      .orderBy($"wave", $"vt").select("url").as[String].head()
+    s.markUncrawlable(victim)
+    s.run(maxWaves = 30)
+    val fetched = s.fetchLogView.filter($"url" === victim && $"seq" >= 0).count()
+    assert(fetched == 0L, s"uncrawlable $victim was scheduled")
+    val inFrontier = s.frontierView.filter($"url" === victim).count()
+    assert(inFrontier == 0L, s"uncrawlable $victim entered the frontier")
+  }
+
   test("crawl converges: every whitelisted html page reachable from roots is fetched") {
     val okGets = sched.fetchLogView
       .filter($"method" === "GET" && $"outcome" === "ok" && $"lane" === "A")

@@ -265,15 +265,19 @@ object SparkEntry {
         urlCol(col("doc_id")).as("warc_target_uri"),
         col("n_chars").as("content_length"))
     }),
-    // A9: bloom URL-seen prefilter + exact confirm — must equal the exact
-    // anti-join (the j8 oracle re-used as this query's oracle)
+    // A9: sharded-bloom URL-seen prefilter + exact confirm — must equal the
+    // exact anti-join (the j8 oracle re-used as this query's oracle). Uses
+    // the scale path: per-shard filters built by executors, probed via the
+    // lazy shard registry; the driver never holds a filter.
     "a9_bloom_seen" -> ((s, d) => {
-      import graft.crawl.Bloom
+      import graft.crawl.ShardedBloom
       val docs = t(s, d, "documents")
       val cand = docs.filter(col("doc_id") < 300).select(urlCol(col("doc_id")).as("url"))
       val seen = docs.filter(col("doc_id") % 3 === 0).select(urlCol(col("doc_id")).as("url"))
-      val bloom = Bloom.build(s, seen, "url", 65536)
-      val hit = Bloom.mightContainCol(s, bloom, col("url"))
+      val dir = java.nio.file.Files.createTempDirectory("a9shard").toString
+      ShardedBloom.buildToDir(s, seen, "url", shards = 4,
+        perShardItems = 16384, fpp = 0.01, dir = dir)
+      val hit = ShardedBloom.mightContainCol(dir, 4, col("url"))
       val tagged = cand.withColumn("hit", hit)
       tagged.filter(!col("hit")).select("url")
         .unionByName(tagged.filter(col("hit")).select("url")
@@ -565,6 +569,54 @@ object SparkEntry {
         .orderBy(desc("created"), asc("host"))
         .select("host", "created").offset(5).limit(10)
     }),
+    // peripheral catalogs (core/queries.go:387-395, 810-821): list shapes
+    "s4_list_datarepos" -> ((s, d) => {
+      val repos = t(s, d, "documents").select((col("doc_id") % 8).as("m")).distinct()
+        .select(concat(lit("repo"), col("m").cast("string")).as("id"),
+          timestamp_seconds(lit(metaEpoch) + col("m") * 60).as("created"),
+          concat(lit("data repo "), col("m").cast("string")).as("title"),
+          concat(lit("http://repos.example.com/"), col("m").cast("string")).as("url"))
+      repos.orderBy(desc("created"), asc("id"))
+        .select("id", "created", "title", "url").offset(2).limit(5)
+    }),
+    "s6_list_customcrawls" -> ((s, d) => {
+      val crawls = t(s, d, "documents").select((col("doc_id") % 6).as("m")).distinct()
+        .select(concat(lit("crawl"), col("m").cast("string")).as("id"),
+          timestamp_seconds(lit(metaEpoch) + col("m") * 30).as("created"),
+          concat(lit("custom crawl "), col("m").cast("string")).as("name"))
+      crawls.orderBy(desc("created"), asc("id"))
+        .select("id", "created", "name").offset(1).limit(4)
+    }),
+
+    // ---------------- corpus-statistics operators
+    // D7: paragraph-level exact dedup (CCNet-style): planted shared + unique
+    // paragraphs per doc, newline-joined
+    "d7_paragraph_dedup" -> ((s, d) => {
+      val text2 = concat(lit("shared para "), (col("doc_id") % 20).cast("string"),
+        lit("\n"), lit("unique para "), col("doc_id").cast("string"))
+      TextAnalysis.paragraphDedup(
+        t(s, d, "documents").select(col("doc_id"), text2.as("text")))
+    }),
+    // T7: top-k bigrams over the cluster corpus (counts are doc_id arithmetic)
+    "t7_top_ngrams" -> ((s, d) => {
+      val corpus = t(s, d, "documents")
+        .select(col("doc_id"), corpusText(col("doc_id")).as("text"))
+      TextAnalysis.topNgrams(corpus, "text", n = 2, k = 50)
+    }),
+    // T8: composite quality filter over real document text
+    "t8_quality_filter" -> ((s, d) =>
+      TextAnalysis.qualityScore(t(s, d, "documents"))
+        .filter(col("quality") >= 0.8).select("doc_id", "quality")),
+    // A10: per-domain rollup over the synthesized url universe
+    "a10_domain_rollup" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(concat(lit("site"), (col("doc_id") % 50).cast("string"),
+            lit(".example.com")).as("host"),
+          (col("doc_id") % 7 === 0).as("is_content"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("is_content"), 1L).otherwise(0L)).as("n_content"))
+    }),
 
     // ---------------- crawl-native operators (no SQL twin; rows-only)
     "f1_normalize" -> ((s, d) =>
@@ -712,6 +764,18 @@ object SparkEntry {
       s"SELECT doc_id, $urlsSql AS url FROM documents WHERE doc_id % 13 <> 0",
     "s3_list_sources" ->
       "SELECT host, created FROM (SELECT DISTINCT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host, TIMESTAMP '2017-01-01 00:00:00' + INTERVAL (doc_id % 50) SECOND AS created, (doc_id % 50) % 2 = 0 AS crawl FROM documents) WHERE crawl ORDER BY created DESC, host LIMIT 10 OFFSET 5",
+    "s4_list_datarepos" ->
+      "SELECT id, created, title, url FROM (SELECT DISTINCT 'repo' || CAST(doc_id % 8 AS VARCHAR) AS id, TIMESTAMP '2017-01-01 00:00:00' + INTERVAL ((doc_id % 8) * 60) SECOND AS created, 'data repo ' || CAST(doc_id % 8 AS VARCHAR) AS title, 'http://repos.example.com/' || CAST(doc_id % 8 AS VARCHAR) AS url FROM documents) ORDER BY created DESC, id LIMIT 5 OFFSET 2",
+    "s6_list_customcrawls" ->
+      "SELECT id, created, name FROM (SELECT DISTINCT 'crawl' || CAST(doc_id % 6 AS VARCHAR) AS id, TIMESTAMP '2017-01-01 00:00:00' + INTERVAL ((doc_id % 6) * 30) SECOND AS created, 'custom crawl ' || CAST(doc_id % 6 AS VARCHAR) AS name FROM documents) ORDER BY created DESC, id LIMIT 4 OFFSET 1",
+    "d7_paragraph_dedup" ->
+      "WITH paras AS (SELECT doc_id, 'shared para ' || CAST(doc_id % 20 AS VARCHAR) AS paragraph FROM documents UNION ALL SELECT doc_id, 'unique para ' || CAST(doc_id AS VARCHAR) FROM documents) SELECT paragraph, min(doc_id) AS keep_id, count(*) AS n FROM paras GROUP BY paragraph",
+    "t7_top_ngrams" ->
+      "WITH bg AS (SELECT 't' || CAST(c.c AS VARCHAR) || 'x' || CAST(r.j AS VARCHAR) || ' t' || CAST(c.c AS VARCHAR) || 'x' || CAST(r.j + 1 AS VARCHAR) AS ngram, c.cnt AS n FROM (SELECT doc_id // 4 AS c, count(*) AS cnt FROM documents GROUP BY 1) c CROSS JOIN range(23) r(j) UNION ALL SELECT 't' || CAST(doc_id // 4 AS VARCHAR) || 'x23 u' || CAST(doc_id AS VARCHAR), 1 FROM documents) SELECT ngram, n FROM bg ORDER BY n DESC, ngram LIMIT 50",
+    "t8_quality_filter" ->
+      "SELECT doc_id, quality FROM (SELECT doc_id, round((CASE WHEN toks >= 10 THEN 0.5 ELSE 0.0 END) + (CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END) + (CASE WHEN chars >= 100 THEN 0.2 ELSE 0.0 END), 2) AS quality FROM (SELECT doc_id, length(text) AS chars, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS toks, CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE round(CAST(length(text) AS DOUBLE) / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1), 4) END AS mtl FROM documents)) WHERE quality >= 0.8",
+    "a10_domain_rollup" ->
+      "SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host, count(*) AS n_urls, CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_content FROM documents GROUP BY 1",
     // pinned golden rows from the deterministic fixture crawl (the
     // crawl engine surfaced through the oracle gate as VALUES literals)
     "crawl1_fixture_urls" ->

@@ -109,4 +109,31 @@ object TextAnalysis {
   }
 
   val fingerprintUdf = udf((t: String) => fingerprint(t))
+
+  // ------------------------------------------------------------ corpus ops
+
+  /** Paragraph-level exact dedup (the CCNet-style pass): explode documents
+    * into newline-separated paragraphs, group identical paragraphs, keep the
+    * lowest doc_id. One explode + one hash-groupBy shuffle keyed on the
+    * paragraph text (or its sha at scale); map-side partial agg applies. */
+  def paragraphDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(col(textCol), "\n")).as("paragraph"))
+      .filter(length(trim(col("paragraph"))) > 0)
+      .groupBy("paragraph")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+
+  /** Top-k n-grams by frequency (corpus statistics): tokenize, slide an
+    * n-window via transform/slice (codegen'd — no UDF), explode, count,
+    * global top-k. The orderBy+limit is a TakeOrderedAndProject, so only k
+    * rows cross the final exchange. */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    docs.filter(size(toks) >= n)
+      .select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("ngram")).limit(k)
+  }
 }

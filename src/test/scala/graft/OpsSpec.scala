@@ -188,6 +188,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(2L).getAs[Long]("n_tokens") == 1L)
   }
 
+  test("paragraph dedup groups identical paragraphs across docs") {
+    val docs = Seq(
+      (0L, "common intro\nunique tail zero"),
+      (1L, "common intro\nunique tail one"),
+      (2L, "all alone here\n\n  ")).toDF("doc_id", "text")
+    val rows = TextAnalysis.paragraphDedup(docs).collect()
+      .map(r => r.getAs[String]("paragraph") ->
+        (r.getAs[Long]("keep_id"), r.getAs[Long]("n"))).toMap
+    assert(rows("common intro") == (0L, 2L))
+    assert(rows("unique tail zero") == (0L, 1L))
+    assert(rows("all alone here") == (2L, 1L))
+    assert(rows.size == 4) // blank/whitespace paragraphs dropped
+  }
+
+  test("top n-grams: sliding window counts and deterministic top-k order") {
+    val docs = Seq((0L, "a b c a b"), (1L, "a b x"), (2L, "z")).toDF("doc_id", "text")
+    val rows = TextAnalysis.topNgrams(docs, "text", n = 2, k = 3).collect()
+      .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("n")))
+    // "a b" x3 (twice in doc0, once in doc1); ties broken by ngram asc
+    assert(rows.head == ("a b", 3L))
+    assert(rows.toSeq == rows.toSeq.sortBy(r => (-r._2, r._1)))
+    assert(rows.length == 3)
+  }
+
   test("fingerprint: stable, shifts only locally under edits") {
     val a = TextAnalysis.fingerprint("some long document text with many characters inside it")
     val b = TextAnalysis.fingerprint("some long document text with many characters inside it")

@@ -100,19 +100,56 @@ object SparkEntry {
     bos.toByteArray
   }
 
+  /** Deterministic WAV header bytes: byteRate 1000 B/s, declared data-chunk
+    * length 100+doc_id%1000 bytes ⇒ duration_ms = 100+doc_id%1000 by header
+    * arithmetic (no payload needed — header-only parse). */
+  private val wavUdf = udf { (id: Long) =>
+    val dataLen = (100 + id % 1000).toInt
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("ISO-8859-1"))
+    bb.put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(1).putShort(1).putInt(1000).putInt(1000).putShort(1).putShort(8)
+    bb.put("data".getBytes("ISO-8859-1")).putInt(dataLen)
+    bb.array()
+  }
+
+  /** Deterministic MP4 header bytes: ftyp + moov/mvhd v0 with timescale
+    * 1000 and duration 500+doc_id%5000 ⇒ duration_ms = 500+doc_id%5000. */
+  private val mp4Udf = udf { (id: Long) =>
+    val duration = (500 + id % 5000).toInt
+    val bb = java.nio.ByteBuffer.allocate(132) // big-endian (ISO BMFF)
+    bb.putInt(16).put("ftyp".getBytes("ISO-8859-1"))
+      .put("mp42".getBytes("ISO-8859-1")).putInt(0)
+    bb.putInt(116).put("moov".getBytes("ISO-8859-1"))
+    bb.putInt(108).put("mvhd".getBytes("ISO-8859-1"))
+    bb.putInt(0).putInt(0).putInt(0) // version/flags, ctime, mtime
+    bb.putInt(1000).putInt(duration) // timescale, duration
+    bb.array() // remaining mvhd fields stay zeroed
+  }
+
   /** t4 fixture texts (pinned fingerprint literals in the oracle). */
   private val t4Texts: Seq[String] = (0 until 8).map(i =>
     s"doc $i alpha${i * 7} beta${i * 13} gamma${i * 29} delta${i * 31} epsilon zeta eta theta iota kappa lambda")
 
-  /** t5 fixture texts — one per language profile + und. */
+  /** t5 fixture texts — one per Latin stopword profile + und + one per
+    * non-Latin script family (round-3 breadth: script-based detection). */
   private val t5Texts: Seq[String] = Seq(
     "the cat and the dog of the house is that it was for them",
     "der hund die katze und das haus ist nicht mit ein auf sich",
     "les chats des chiens et est une dans que qui pour pas",
     "el gato los perros las casas y que en un una es no",
     "il gatto di cane che e un per non con del si da",
-    "zzz qqq xxx yyy www vvv")
-  private val t5Expected: Seq[String] = Seq("en", "de", "fr", "es", "it", "und")
+    "zzz qqq xxx yyy www vvv",
+    "これは日本語のテスト文書です ひらがなとカタカナと漢字",
+    "这是一个中文测试文档 内容全部都是汉字写成的",
+    "это тестовый документ на русском языке для проверки",
+    "هذا نص تجريبي باللغة العربية لاختبار الكشف",
+    "αυτό είναι ένα δοκιμαστικό κείμενο στα ελληνικά",
+    "이것은 한국어 테스트 문서입니다 한글 내용")
+  private val t5Expected: Seq[String] =
+    Seq("en", "de", "fr", "es", "it", "und", "ja", "zh", "ru", "ar", "el", "ko")
 
   private def pickByMod(c: Column, texts: Seq[String]): Column =
     texts.zipWithIndex.foldLeft(lit(texts.head)) { case (acc, (txt, i)) =>
@@ -265,6 +302,16 @@ object SparkEntry {
         urlCol(col("doc_id")).as("warc_target_uri"),
         col("n_chars").as("content_length"))
     }),
+    // S5b: FULL WARC/1.0 response-record serialization (warc/writer.go
+    // framing; fixed field order — see functions/Warc.scala)
+    "s5b_warc_record" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.Warc.responseRecordCol(
+          urlCol(col("doc_id")),
+          lit("2017-01-01T00:00:00Z"),
+          concat(lit("<urn:sha256:"), sha2(col("text").cast("binary"), 256), lit(">")),
+          col("text")).as("warc_record"))
+    }),
     // A9: sharded-bloom URL-seen prefilter + exact confirm — must equal the
     // exact anti-join (the j8 oracle re-used as this query's oracle). Uses
     // the scale path: per-shard filters built by executors, probed via the
@@ -277,7 +324,8 @@ object SparkEntry {
       val dir = java.nio.file.Files.createTempDirectory("a9shard").toString
       ShardedBloom.buildToDir(s, seen, "url", shards = 4,
         perShardItems = 16384, fpp = 0.01, dir = dir)
-      val hit = ShardedBloom.mightContainCol(dir, 4, col("url"))
+      val hit = ShardedBloom.mightContainCol(s, dir, 4, col("url"),
+        requireShards = true)
       val tagged = cand.withColumn("hit", hit)
       tagged.filter(!col("hit")).select("url")
         .unionByName(tagged.filter(col("hit")).select("url")
@@ -408,6 +456,15 @@ object SparkEntry {
           Funcs.extractLinksUdf(base, html.cast("binary"))).as(Seq("href_idx", "link")))
         .select("doc_id", "href_idx", "link")
     }),
+    // F4 reverse: MIME -> extension (ffi.MimeTypeExtension) over a pinned
+    // MIME list; expected extensions pinned in the oracle (explicit curated
+    // entries + deterministic backfill)
+    "f4_mime_ext" -> ((s, d) => {
+      val mimes = Seq("application/pdf", "text/html", "video/mp4",
+        "image/jpeg", "audio/aac", "application/x-unknown")
+      t(s, d, "documents").select(col("doc_id"),
+        Funcs.mimeExtUdf(pickByMod(col("doc_id"), mimes)).as("ext"))
+    }),
     "f11_date_trunc" -> ((s, d) => {
       t(s, d, "events").select(col("event_id"),
         date_trunc("second", col("ts")).as("ts_sec"),
@@ -473,7 +530,7 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("rank"))),
     "ann2_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(synthEmb(s, d), synthQueries(s, d), dim = 64, k = 10,
-          planes = 10, maxFlips = 3)
+          rowsPerBand = 4, bands = 24)
         .select(col("query_id"), col("vec_id"), col("rank"))),
 
     // ---------------- text analysis
@@ -525,6 +582,15 @@ object SparkEntry {
       Multimodal.mediaMeta(
         t(s, d, "documents").select(col("doc_id"), pngUdf(col("doc_id")).as("content")),
         "content").select("doc_id", "format", "width", "height")),
+    // M2: REAL A/V container-header probe — synthesized WAV/RIFF and
+    // MP4 moov/mvhd headers with doc_id-derived durations, decoded back by
+    // the pure-JVM header parsers (no codecs; arithmetic oracle)
+    "m2_av_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(
+        t(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, wavUdf(col("doc_id")))
+            .otherwise(mp4Udf(col("doc_id"))).as("content")),
+        "content").select("doc_id", "format", "duration_ms")),
 
     // ---------------- metadata entity (core/metadata.go, queries.go:202-257)
     // A4: content docs (planted: doc_id%7==0) having live metadata
@@ -558,14 +624,17 @@ object SparkEntry {
     }),
 
     // ---------------- sources read API (handlers.go:110-230 list shape)
+    // qSourcesCrawling semantics: crawl=true AND deleted=false (P9; the
+    // planted n%7==3 sources are soft-deleted and must not appear)
     "s3_list_sources" -> ((s, d) => {
       val sources = t(s, d, "documents")
         .select((col("doc_id") % 50).as("n")).distinct()
         .select(concat(lit("site"), col("n").cast("string"), lit(".example.com"))
           .as("host"),
           timestamp_seconds(lit(metaEpoch) + col("n")).as("created"),
-          (col("n") % 2 === 0).as("crawl"))
-      sources.filter(col("crawl"))
+          (col("n") % 2 === 0).as("crawl"),
+          (col("n") % 7 === 3).as("deleted"))
+      sources.filter(col("crawl") && !col("deleted"))
         .orderBy(desc("created"), asc("host"))
         .select("host", "created").offset(5).limit(10)
     }),
@@ -682,6 +751,16 @@ object SparkEntry {
         | FROM documents""".stripMargin.replace("\n", ""),
     "s5_warc_emit" ->
       s"SELECT doc_id, concat('<urn:sha256:', sha256(text), '>') AS warc_record_id, $urlsSql AS warc_target_uri, n_chars AS content_length FROM documents",
+    "s5b_warc_record" ->
+      s"""SELECT doc_id, concat(
+        | 'WARC/1.0', chr(13), chr(10),
+        | 'WARC-Type: response', chr(13), chr(10),
+        | 'WARC-Record-ID: <urn:sha256:', sha256(text), '>', chr(13), chr(10),
+        | 'WARC-Date: 2017-01-01T00:00:00Z', chr(13), chr(10),
+        | 'WARC-Target-URI: ', $urlsSql, chr(13), chr(10),
+        | 'Content-Type: application/http; msgtype=response', chr(13), chr(10),
+        | 'Content-Length: ', CAST(octet_length(encode(text)) AS VARCHAR), chr(13), chr(10),
+        | chr(13), chr(10), text, chr(13), chr(10), chr(13), chr(10)) AS warc_record FROM documents""".stripMargin.replace("\n", ""),
     "a9_bloom_seen" ->
       s"""SELECT url FROM (SELECT $urlsSql AS url FROM documents WHERE doc_id < 300) WHERE url NOT IN (SELECT $urlsSql AS url FROM documents WHERE doc_id % 3 = 0)""",
     "a1_count_global" -> "SELECT count(*) AS n_rows FROM lineitem",
@@ -707,6 +786,8 @@ object SparkEntry {
       """SELECT doc_id, 0 AS href_idx, concat('http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/d/', CAST(doc_id AS VARCHAR)) AS link FROM documents WHERE doc_id < 100
         | UNION ALL
         | SELECT doc_id, 1 AS href_idx, concat('http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/doc/rel', CAST(doc_id % 7 AS VARCHAR), '.html') AS link FROM documents WHERE doc_id < 100""".stripMargin.replace("\n", ""),
+    "f4_mime_ext" ->
+      "SELECT doc_id, CASE doc_id % 6 WHEN 0 THEN '.pdf' WHEN 1 THEN '.html' WHEN 2 THEN '.mp4' WHEN 3 THEN '.jpg' WHEN 4 THEN '.AAC' ELSE NULL END AS ext FROM documents",
     "f11_date_trunc" ->
       "SELECT event_id, date_trunc('second', ts) AS ts_sec, date_trunc('hour', ts) AS ts_hour FROM events",
     "d1_dedup_exact" ->
@@ -739,7 +820,7 @@ object SparkEntry {
         "WHEN 4 THEN -8710937737434241121 WHEN 5 THEN -9169214825758899158 " +
         "WHEN 6 THEN -8710937737434241121 ELSE -9008839485748962652 END AS fingerprint FROM documents"),
     "t5_langid_detect" ->
-      "SELECT doc_id, CASE doc_id % 6 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es' WHEN 4 THEN 'it' ELSE 'und' END AS lang_detected FROM documents",
+      "SELECT doc_id, CASE doc_id % 12 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es' WHEN 4 THEN 'it' WHEN 5 THEN 'und' WHEN 6 THEN 'ja' WHEN 7 THEN 'zh' WHEN 8 THEN 'ru' WHEN 9 THEN 'ar' WHEN 10 THEN 'el' ELSE 'ko' END AS lang_detected FROM documents",
     "f1_normalize" ->
       "SELECT doc_id, concat('http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/a/d/', CAST(doc_id AS VARCHAR)) AS normalized FROM documents",
     "f5_sniff" ->
@@ -750,10 +831,12 @@ object SparkEntry {
         "concat('{\"Content-Length\":\"', CAST(n_chars AS VARCHAR), '\",\"Content-Type\":\"text/plain; charset=utf-8\"}') AS headers_map_json FROM documents"),
     "m1_media_meta" ->
       "SELECT doc_id, 'png' AS format, CAST(16 + doc_id % 32 AS INT) AS width, CAST(8 + doc_id % 16 AS INT) AS height FROM documents",
+    "m2_av_meta" ->
+      "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'wave' ELSE 'mp4' END AS format, CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 1000 ELSE 500 + doc_id % 5000 END AS BIGINT) AS duration_ms FROM documents",
     "a4_meta_semi" ->
       s"WITH $metaSqlCtes SELECT count(*) AS n_content_with_meta FROM documents d WHERE d.doc_id % 7 = 0 AND EXISTS (SELECT 1 FROM meta m WHERE m.subject = '1220' || sha256(d.text) AND NOT m.deleted AND m.meta IS NOT NULL)",
     "a6b_latest_meta" ->
-      s"WITH $metaSqlCtes SELECT hash, time_stamp, key_id, subject, prev FROM meta WHERE key_id = 'key1' AND NOT deleted QUALIFY row_number() OVER (PARTITION BY subject ORDER BY time_stamp DESC, hash DESC) = 1 ORDER BY subject LIMIT 40 OFFSET 5",
+      s"WITH $metaSqlCtes SELECT hash, time_stamp, key_id, subject, prev, meta FROM meta WHERE key_id = 'key1' AND NOT deleted QUALIFY row_number() OVER (PARTITION BY subject ORDER BY time_stamp DESC, hash DESC) = 1 ORDER BY subject LIMIT 40 OFFSET 5",
     "a8_meta_count" ->
       s"WITH $metaSqlCtes SELECT count(*) AS n FROM meta WHERE key_id = 'key0' AND hash <> '1220e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855'",
     "j4b_collection_items" ->
@@ -763,7 +846,7 @@ object SparkEntry {
     "p14_uncrawlable_gate" ->
       s"SELECT doc_id, $urlsSql AS url FROM documents WHERE doc_id % 13 <> 0",
     "s3_list_sources" ->
-      "SELECT host, created FROM (SELECT DISTINCT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host, TIMESTAMP '2017-01-01 00:00:00' + INTERVAL (doc_id % 50) SECOND AS created, (doc_id % 50) % 2 = 0 AS crawl FROM documents) WHERE crawl ORDER BY created DESC, host LIMIT 10 OFFSET 5",
+      "SELECT host, created FROM (SELECT DISTINCT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host, TIMESTAMP '2017-01-01 00:00:00' + INTERVAL (doc_id % 50) SECOND AS created, (doc_id % 50) % 2 = 0 AS crawl, (doc_id % 50) % 7 = 3 AS deleted FROM documents) WHERE crawl AND NOT deleted ORDER BY created DESC, host LIMIT 10 OFFSET 5",
     "s4_list_datarepos" ->
       "SELECT id, created, title, url FROM (SELECT DISTINCT 'repo' || CAST(doc_id % 8 AS VARCHAR) AS id, TIMESTAMP '2017-01-01 00:00:00' + INTERVAL ((doc_id % 8) * 60) SECOND AS created, 'data repo ' || CAST(doc_id % 8 AS VARCHAR) AS title, 'http://repos.example.com/' || CAST(doc_id % 8 AS VARCHAR) AS url FROM documents) ORDER BY created DESC, id LIMIT 5 OFFSET 2",
     "s6_list_customcrawls" ->

@@ -91,4 +91,17 @@ final class Api(sched: Scheduler) {
   def listUncrawlables(limit: Int, offset: Int): DataFrame =
     sched.uncrawlablesView.orderBy(desc("created"), asc("url"))
       .offset(offset).limit(limit)
+
+  /** GET /repositories (qDataRepos, queries.go:149-156) over the real
+    * catalog table (Mutations.createDataRepo writes it). */
+  def listDataRepos(mut: Mutations, limit: Int, offset: Int): DataFrame =
+    mut.dataRepos.filter(!col("deleted"))
+      .orderBy(desc("created"), asc("id"))
+      .select("id", "created", "updated", "title", "description", "url")
+      .offset(offset).limit(limit)
+
+  /** GET custom crawls (qCustomCrawlsList, queries.go:825-832). */
+  def listCustomCrawls(mut: Mutations, limit: Int, offset: Int): DataFrame =
+    mut.customCrawls.orderBy(desc("created"), asc("id"))
+      .offset(offset).limit(limit)
 }

@@ -40,7 +40,7 @@ object Metadata {
     meta.filter(col("key_id") === keyId && !col("deleted"))
       .withColumn("rn_", row_number().over(w)).filter(col("rn_") === 1)
       .orderBy("subject")
-      .select("hash", "time_stamp", "key_id", "subject", "prev")
+      .select("hash", "time_stamp", "key_id", "subject", "prev", "meta")
       .offset(offset).limit(limit)
   }
 

@@ -62,7 +62,9 @@ object Model {
       headers: Seq[String],
       hash: String)
 
-  /** sources table — crawl seed roots (core/source.go:19-46). */
+  /** sources table — crawl seed roots (core/source.go:19-46). `deleted` is
+    * the soft-delete flag (sql/schema.sql sources.deleted; qSourcesCrawling
+    * filters `crawl=true AND deleted=false`, core/queries.go:455-464). */
   final case class SourceRow(
       id: String,
       url: String, // root prefix WITHOUT scheme; AsUrl prepends http:// (source.go:125)
@@ -71,10 +73,17 @@ object Model {
       updated: Timestamp,
       primer_id: String,
       crawl: Boolean,
-      stale_duration_ms: Long)
+      stale_duration_ms: Long,
+      deleted: Boolean = false)
 
   /** Frontier states. */
   val StateQueued = "queued"
+  /** Transition state for a command leaving the queue (budgeted take or a
+    * manual eviction) — the frontier table is merge-on-read append-only
+    * (like urls): a `taken` transition is the MOR tombstone that removes
+    * the url from the read view, so a wave writes O(delta) transition rows
+    * instead of rewriting the O(frontier) table. */
+  val StateTaken = "taken"
   /** HEAD responses nothing handles leave the url occupying its `enqued`
     * slot forever (fetchbot mux no-op DefaultHandler, handler.go:62-64 +
     * crawler.go registers only a text/html HEAD handler) — modeled as a

@@ -88,11 +88,55 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   private def emptyDF[T <: Product : org.apache.spark.sql.Encoder]: DataFrame =
     spark.emptyDataset[T].toDF()
 
+  /** frontier merge-on-read view: latest (f_wave, f_prio) transition per
+    * url wins; urls whose latest transition is `taken` have left the queue.
+    * Same layout as the urls table — waves APPEND O(delta) transition rows
+    * (seeds, takes, blocks, enqueues) and never rewrite the backlog; a
+    * pre-MOR snapshot (single rewrite version, no f_wave column) reads as
+    * wave-0 transitions, so resume from an old store keeps working. */
   private def frontierDF: DataFrame =
-    store.readLatest("frontier").getOrElse(emptyDF[FrontierRow])
+    store.readAppendOnly("frontier") match {
+      case None => emptyDF[FrontierRow]
+      case Some(df0raw) =>
+        val df0 =
+          if (df0raw.columns.contains("f_wave"))
+            df0raw.withColumn("f_wave", coalesce($"f_wave", lit(0L)))
+              .withColumn("f_prio", coalesce($"f_prio", lit(0)))
+          else df0raw.withColumn("f_wave", lit(0L)).withColumn("f_prio", lit(0))
+        val w = Window.partitionBy("url").orderBy(desc("f_wave"), desc("f_prio"))
+        df0.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1)
+          .drop("rn_", "f_wave", "f_prio")
+          .filter($"state" =!= StateTaken)
+    }
 
+  /** Frontier transition priorities within one wave: a seed can be taken in
+    * its own wave; a taken HEAD can be blocked; an eviction wins over all. */
+  private val PrioSeed = 1
+  private val PrioTaken = 2
+  private val PrioBlocked = 3
+  private val PrioEnqueued = 4
+  private val PrioEvicted = 5
+
+  private def withFrontierMor(df: DataFrame, w: Long, prio: Int): DataFrame =
+    df.select("url", "method", "host", "lane", "wave", "seq", "state")
+      .withColumn("f_wave", lit(w)).withColumn("f_prio", lit(prio))
+
+  /** host_state MOR view: latest transition per (host, lane) wins. Waves
+    * append only the hosts they touched (bounded by the politeness budget),
+    * never the full host catalog — at 10^7+ hosts the old per-wave rewrite
+    * was the last O(catalog) write. Pre-MOR snapshots read as wave 0. */
   private def hostStateDF: DataFrame =
-    store.readLatest("host_state").getOrElse(emptyDF[HostStateRow])
+    store.readAppendOnly("host_state") match {
+      case None => emptyDF[HostStateRow]
+      case Some(df0raw) =>
+        val df0 =
+          if (df0raw.columns.contains("h_wave"))
+            df0raw.withColumn("h_wave", coalesce($"h_wave", lit(0L)))
+          else df0raw.withColumn("h_wave", lit(0L))
+        val w = Window.partitionBy("host", "lane").orderBy(desc("h_wave"))
+        df0.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1)
+          .drop("rn_", "h_wave")
+    }
 
   /** urls hash bucket (partition column of the urls table). */
   private def bucketCol(c: Column): Column =
@@ -108,7 +152,16 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   def urlsViewBuckets(buckets: Option[Seq[Int]]): DataFrame =
     store.readAppendOnly("urls") match {
       case None => emptyDF[UrlRow]
-      case Some(df0) =>
+      case Some(df0raw) =>
+        // schema backfill on read: url deltas written before the bucketed
+        // layout have no ubucket column (or parquet schema union reads their
+        // rows as null) — recompute from the url so a resume from a
+        // pre-bucketing snapshot neither fails resolution nor silently
+        // drops pre-upgrade urls from bucket-pruned steady-state waves
+        val df0 =
+          if (df0raw.columns.contains("ubucket"))
+            df0raw.withColumn("ubucket", coalesce($"ubucket", bucketCol($"url")))
+          else df0raw.withColumn("ubucket", bucketCol($"url"))
         val df = buckets match {
           case Some(bs) => df0.filter($"ubucket".isin(bs: _*))
           case None     => df0
@@ -133,7 +186,13 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     store.readAppendOnly("uncrawlables")
       .getOrElse(Seq.empty[(String, java.sql.Timestamp)].toDF("url", "created"))
   def pagesDF: DataFrame = store.readLatest("pages").get
-  def sourcesDF: DataFrame = store.readLatest("sources").get
+  /** sources catalog; pre-soft-delete snapshots are read as deleted=false
+    * (schema backfill on read, same policy as the urls ubucket migration). */
+  def sourcesDF: DataFrame = {
+    val df = store.readLatest("sources").get
+    if (df.columns.contains("deleted")) df
+    else df.withColumn("deleted", lit(false))
+  }
 
   // -------------------------------------------------------------- bootstrap
 
@@ -167,15 +226,30 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // from a pre-bloom snapshot rebuilds shards from the urls table — the
     // documented restart path (SURVEY §7.4.6). The driver never holds a
     // filter object — shards live as files, loaded lazily per executor.
+    // The persisted geometry (shards, per-shard items, fpp) is validated
+    // against cfg: probing with mismatched parameters hashes urls to the
+    // wrong shard / wrong bit positions — silent false negatives that
+    // re-create seen urls — so a mismatch (e.g. GRAFT_SHARDS changed
+    // between runs) forces a rebuild from the urls table instead.
+    def rebuildBloom(): Option[String] = {
+      val dir = s"${store.rootPath}/seen_bloom/rebuild-v$w"
+      ShardedBloom.buildToDir(spark, urlsView.select("url"), "url",
+        cfg.bloomShards, perShardItems, cfg.bloomFpp, dir)
+      Some(dir)
+    }
     val bloomDir: Option[String] =
       if (!cfg.useBloomPrefilter) None
       else store.readLatest("seen_bloom_meta") match {
-        case Some(df) => Some(df.select("dir").head().getString(0))
-        case None if store.exists("urls") =>
-          val dir = s"${store.rootPath}/seen_bloom/rebuild-v$w"
-          ShardedBloom.buildToDir(spark, urlsView.select("url"), "url",
-            cfg.bloomShards, perShardItems, cfg.bloomFpp, dir)
-          Some(dir)
+        case Some(df) =>
+          val cols = df.columns.toSet
+          val row = df.head()
+          val geometryOk =
+            cols.contains("shards") && row.getAs[Int]("shards") == cfg.bloomShards &&
+            cols.contains("per_shard_items") &&
+              row.getAs[Long]("per_shard_items") == perShardItems &&
+            cols.contains("fpp") && row.getAs[Double]("fpp") == cfg.bloomFpp
+          if (geometryOk) Some(row.getAs[String]("dir")) else rebuildBloom()
+        case None if store.exists("urls") => rebuildBloom()
         case None => None
       }
     val queuedCount = frontier0.filter($"state" === StateQueued).count() // A10 gauge
@@ -191,8 +265,10 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     val urlsSeedFull: DataFrame = if (doSeed) urlsView.localCheckpoint() else null
 
     val (seedRows, seedCreates, whitelist) = if (doSeed) {
-      // qSourcesCrawling (queries.go:455-464): crawl=true order by created desc limit 200
-      val srcSeeds = sourcesDF.filter($"crawl" === true)
+      // qSourcesCrawling (queries.go:455-464): crawl=true AND deleted=false,
+      // order by created desc limit 200 (soft-deleted sources never seed, P9)
+      val srcSeeds = sourcesDF
+        .filter($"crawl" === true && !coalesce($"deleted", lit(false)))
         .orderBy(desc("created"), asc("url")).limit(cfg.seedSourcesLimit)
         .select(asUrlUdf($"url").as("s_url"),
           row_number().over(Window.orderBy(desc("created"), asc("url"))).as("ord"))
@@ -246,13 +322,21 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       (emptyDF[FrontierRow], emptyUrlRows, wl)
     }
 
-    val frontierIn = frontier0.unionByName(seedRows).localCheckpoint()
+    // seeds are O(seed caps) rows; checkpoint truncates their lineage into
+    // the wave (the full-frontier materialization this replaces was the
+    // last O(state-size) write of the loop)
+    val seedRowsCk = if (doSeed) seedRows.localCheckpoint() else seedRows
 
     // ---- 2. politeness budget + robots plan (T4/T5)
-    val queued = frontierIn.filter($"state" === StateQueued)
+    // queued commands visible to this wave = committed queued transitions
+    // (MOR view) + this wave's seeds (already anti-joined vs the frontier)
+    val queued = frontier0.filter($"state" === StateQueued).unionByName(seedRowsCk)
     val pages = pagesDF
 
-    val hostsInPlay = queued.groupBy($"host", $"lane").agg(count(lit(1)).as("depth"))
+    // one aggregation pass over the backlog yields depth AND the per-host
+    // queue head (first_url) — the only two per-host facts a wave needs
+    val hostsInPlay = queued.groupBy($"host", $"lane")
+      .agg(count(lit(1)).as("depth"), min_by($"url", $"seq").as("first_url"))
       .join(hostState0, Seq("host", "lane"), "left")
       .withColumn("robots_fetched", coalesce($"robots_fetched", lit(false)))
       .withColumn("start_vt",
@@ -261,8 +345,6 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // first sight of a host prepends its robots.txt fetch (fetch.go:289-310)
     val robotsFetched = hostsInPlay
       .filter(lit(cfg.polite) && !$"robots_fetched" && $"start_vt" < waveEnd)
-      .join(queued.groupBy($"host", $"lane").agg(min_by($"url", $"seq").as("first_url")),
-        Seq("host", "lane"))
       .withColumn("robots_url",
         concat(coalesce(nullif(Funcs.schemeUdf($"first_url"), lit("")), lit("http")),
           lit("://"), $"host", lit("/robots.txt")))
@@ -285,15 +367,28 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         when($"robots_now" && $"delay_override".isNotNull, $"delay_override")
           .otherwise(coalesce($"crawl_delay_sec", lit(cfg.crawlDelaySec))))
       .select($"host", $"lane", $"robots_now", $"eff_robots_txt", $"eff_delay", $"start_vt")
+      // O(hosts-in-play) rows, referenced by the budget, the robots rejoin
+      // and the host-state update — cache instead of re-aggregating the
+      // queued backlog three times
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // per-host FIFO take under the politeness budget (fetch.go:345-425 + iq_slice)
-    val wSeq = Window.partitionBy($"host", $"lane").orderBy($"seq")
-    val budgeted = queued.join(hostPlan, Seq("host", "lane"))
-      .withColumn("rn", row_number().over(wSeq))
-      .withColumn("vt",
-        when($"robots_now", $"start_vt" + $"rn" * $"eff_delay")
-          .otherwise($"start_vt" + ($"rn" - 1) * $"eff_delay"))
-      .filter($"vt" < waveEnd && $"start_vt" < waveEnd)
+    // per-host FIFO take under the politeness budget (fetch.go:345-425 +
+    // iq_slice). Only the queue head can survive the vt filter — at most
+    // ceil(window/min_delay) rows per (host,lane) — so a constant rank
+    // pre-filter lets Spark 4's WindowGroupLimit prune each host's backlog
+    // below the window exchange (a million-deep host contributes rankBound
+    // rows to the shuffle, not its whole queue), and the window ranks only
+    // narrow columns: robots bodies join back per-host AFTER the take.
+    // minDelay is one scalar agg over the per-host plan (rows = hosts in
+    // play), not over the backlog.
+    val minDelay: Double = {
+      val r = hostPlan.agg(min($"eff_delay")).head()
+      if (r.isNullAt(0)) cfg.crawlDelaySec else r.getDouble(0)
+    }
+    val rankBound: Long =
+      if (minDelay > 0) math.ceil(cfg.waveWindowSec / minDelay).toLong + 1
+      else Long.MaxValue // a 0-delay host takes its whole backlog; no prune
+    val budgeted = politeBudget(queued, hostPlan, waveEnd, rankBound)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // ---- 3. robots path gate (P8)
@@ -416,7 +511,8 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       .join(seedCreates.select($"url".as("dst")), Seq("dst"), "left_anti")
     val dstNew = bloomDir match {
       case Some(dir) =>
-        val hit = ShardedBloom.mightContainCol(dir, cfg.bloomShards, $"dst")
+        val hit = ShardedBloom.mightContainCol(spark, dir, cfg.bloomShards,
+          $"dst", requireShards = true)
         val tagged = dstNotSeeded.withColumn("bloom_hit", hit)
         val definitelyNew = tagged.filter(!$"bloom_hit")
         val maybeSeen = tagged.filter($"bloom_hit")
@@ -468,16 +564,21 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       .select($"url", lit("GET").as("method"), $"host", lit("A").as("lane"),
         $"seq".as("ord1"), lit(-1L).as("ord2"))
 
-    val frontierAfterTake = frontierIn
+    // the `enqued` map check set (crawler.go:27-29): urls still occupying a
+    // frontier slot after this wave's takes — queued minus taken, plus all
+    // blocked tombstones (old and new). Never materialized as a table: the
+    // frontier is MOR — only the transition rows below get written.
+    val frontierActiveUrls = queued
       .join(budgeted.select($"url"), Seq("url"), "left_anti")
-      .unionByName(headBlockedRows)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select("url")
+      .unionByName(frontier0.filter($"state" === StateBlocked).select("url"))
+      .unionByName(headBlockedRows.select("url"))
 
     val newEnqueues = linkCands.unionByName(headFollow)
       .withColumn("rn_", row_number().over(
         Window.partitionBy($"url").orderBy($"ord1", $"ord2")))
       .filter($"rn_" === 1)
-      .join(frontierAfterTake.select("url"), Seq("url"), "left_anti") // enqued map check
+      .join(frontierActiveUrls, Seq("url"), "left_anti") // enqued map check
       .join(broadcast(uncrawl0), Seq("url"), "left_anti") // uncrawlables gate
       // seq only needs to order within a host (per-host FIFO, T3) — a
       // per-host window keeps this parallel at any frontier size; a global
@@ -488,11 +589,23 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         lit(StateQueued).as("state"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val frontierOut = frontierAfterTake.unionByName(newEnqueues)
+    // this wave's frontier delta: O(seeds + takes + blocks + enqueues)
+    // transition rows — queue depth never touches the write path (T1/T10
+    // at 100x: the backlog can be billions of rows; the delta is bounded
+    // by the politeness budget and the wave's link yield)
+    val takenRows = budgeted
+      .select($"url", $"method", $"host", $"lane", $"wave", $"seq",
+        lit(StateTaken).as("state"))
+    val frontierAppends = withFrontierMor(seedRowsCk, w, PrioSeed)
+      .unionByName(withFrontierMor(takenRows, w, PrioTaken))
+      .unionByName(withFrontierMor(headBlockedRows, w, PrioBlocked))
+      .unionByName(withFrontierMor(newEnqueues, w, PrioEnqueued))
 
     // ---- 10. host state
     val takenPerHost = budgeted.groupBy($"host", $"lane")
       .agg(max($"vt").as("max_vt"))
+    // MOR delta: only the hosts this wave touched — untouched host rows
+    // stay in older versions and win nothing (their latest row is theirs)
     val hostStateTouched = hostPlan
       .join(takenPerHost, Seq("host", "lane"), "left")
       .withColumn("last_vt",
@@ -501,9 +614,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       .select($"host", $"lane", lit(cfg.polite).as("robots_fetched"),
         $"eff_robots_txt".as("robots_txt"), $"eff_delay".as("crawl_delay_sec"),
         ($"last_vt" + $"eff_delay").as("next_fetch_vt"))
-    val hostStateOut = hostState0
-      .join(hostStateTouched.select($"host", $"lane"), Seq("host", "lane"), "left_anti")
-      .unionByName(hostStateTouched)
+      .withColumn("h_wave", lit(w))
 
     // ---- 11. fetch log (crawl-order artifact, O4)
     val robotsLog = robotsFetched.select(lit(w).as("wave"), $"r_start".as("vt"),
@@ -535,8 +646,8 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     stage("links", linkRows, append = true)
     stage("snapshots", snapshotRows, append = true)
     stage("fetch_log", fetchLogRows, append = true)
-    stage("frontier", frontierOut, append = false)
-    stage("host_state", hostStateOut, append = false)
+    stage("frontier", frontierAppends, append = true)
+    stage("host_state", hostStateTouched, append = true)
     if (doSeed) stage("whitelist", whitelist, append = false)
 
     // merge this wave's new urls into the sharded seen bloom: per-shard
@@ -557,7 +668,8 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
           d
         } else bloomDir.get
       stage("seen_bloom_meta",
-        Seq((w, newDir, cfg.bloomShards)).toDF("wave", "dir", "shards"),
+        Seq((w, newDir, cfg.bloomShards, perShardItems, cfg.bloomFpp))
+          .toDF("wave", "dir", "shards", "per_shard_items", "fpp"),
         append = false)
     }
 
@@ -581,13 +693,15 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     val takenCount = budgeted.count()
     val okCount = fetched.filter($"found").count()
     val enqCount = newEnqueues.count()
-    val depth = frontierOut.filter($"state" === StateQueued).count()
+    // queue depth after this wave, from the deltas (never re-materializes
+    // the frontier): queued-before + seeds - taken + enqueued
+    val depth = queued.count() - takenCount + enqCount
 
     store.commitWave(w)
 
-    Seq(urlsSeedFull, urlsWave, frontierIn, robotsFetched, budgeted, fetched,
-      getOk, headHtml, getUpdates, headUpdates, linksRaw, dstFirst, dstCreates,
-      frontierAfterTake, newEnqueues, whitelist)
+    Seq(urlsSeedFull, urlsWave, seedRowsCk, robotsFetched, hostPlan, budgeted,
+      fetched, getOk, headHtml, getUpdates, headUpdates, linksRaw, dstFirst,
+      dstCreates, newEnqueues, whitelist)
       .filter(_ != null)
       .foreach(df => try df.unpersist() catch { case _: Throwable => () })
 
@@ -629,8 +743,11 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     val row = Seq((url, "GET", GoUrl.hostOf(url), "C", w,
         w * SeqStride + (1L << 20), StateQueued))
       .toDF("url", "method", "host", "lane", "wave", "seq", "state")
-    val f = frontierDF.join(row.select("url"), Seq("url"), "left_anti").unionByName(row)
-    store.stageRewrite("frontier", f)
+    // enqued-map check (Read-or-Create): only append the queued transition
+    // if the url holds no frontier slot — an O(delta) append, not a rewrite
+    val alreadyActive = frontierDF.filter($"url" === url).limit(1).count() > 0
+    if (!alreadyActive)
+      store.stageAppend("frontier", withFrontierMor(row, w, PrioSeed))
     // Read-or-Create the url row (handlers.go:83-101)
     val creates = row.select($"url")
       .join(urlsView.select("url"), Seq("url"), "left_anti")
@@ -650,21 +767,53 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     val ts = timestamp_seconds(lit(baseEpochSec + ((w + 1) * cfg.waveWindowSec).toLong))
     store.stageAppend("uncrawlables",
       Seq(Tuple1(url)).toDF("url").select($"url", ts.as("created")))
-    val f = frontierDF.filter(!($"url" === url && $"state" === StateQueued))
-    store.stageRewrite("frontier", f)
+    // evict a queued command via a MOR tombstone (blocked rows keep their
+    // state; the uncrawlables gate already blocks re-enqueue either way)
+    val evicted = frontierDF
+      .filter($"url" === url && $"state" === StateQueued)
+      .withColumn("state", lit(StateTaken))
+    store.stageAppend("frontier", withFrontierMor(evicted, w, PrioEvicted))
     store.commitWave(w)
   }
 
-  /** Compact MOR tables (Iceberg rewrite_data_files equivalent). */
+  /** Compact MOR tables (Iceberg rewrite_data_files equivalent). The
+    * frontier compaction materializes the live view (queued + blocked; all
+    * taken tombstones fold away) as one wave-stamped version, bounding the
+    * transition-log read amplification on the same cadence as urls. */
   def compactTables(): Unit = {
     store.compact("urls",
       withMor(urlsView, store.currentWave, 2).repartition(col("ubucket")))
     store.compact("links", linksView)
     store.compact("snapshots", snapshotsView)
+    store.compact("frontier", withFrontierMor(frontierDF, store.currentWave, 0))
+    store.compact("host_state",
+      hostStateDF.withColumn("h_wave", lit(store.currentWave)))
     store.commitWave(store.currentWave)
   }
 
   // -------------------------------------------------------------- helpers
+
+  /** Per-host FIFO politeness take: rank the queue narrow (url, method,
+    * host, lane, wave, seq + the per-host plan scalars — never the robots
+    * body), pre-filter on a constant rank bound so WindowGroupLimit keeps
+    * only each (host,lane) queue head below the exchange, stamp virtual
+    * fetch times at eff_delay spacing, keep rows inside the wave window,
+    * then join the robots text back per (host,lane) for the gate. */
+  private[graft] def politeBudget(queued: DataFrame, hostPlan: DataFrame,
+      waveEnd: Double, rankBound: Long): DataFrame = {
+    val wSeq = Window.partitionBy($"host", $"lane").orderBy($"seq")
+    val hostPlanNarrow = hostPlan
+      .select($"host", $"lane", $"robots_now", $"eff_delay", $"start_vt")
+    queued.join(hostPlanNarrow, Seq("host", "lane"))
+      .withColumn("rn", row_number().over(wSeq))
+      .filter($"rn" <= rankBound)
+      .withColumn("vt",
+        when($"robots_now", $"start_vt" + $"rn" * $"eff_delay")
+          .otherwise($"start_vt" + ($"rn" - 1) * $"eff_delay"))
+      .filter($"vt" < waveEnd && $"start_vt" < waveEnd)
+      .join(hostPlan.select($"host", $"lane", $"eff_robots_txt"),
+        Seq("host", "lane"))
+  }
 
   private val sniffUnwanted: Seq[String] =
     graft.functions.Sniff.unwantedMimetypes.toSeq.sorted
@@ -711,7 +860,11 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   }
 }
 
-/** Per-executor robots parse cache keyed by content (P8). */
+/** Per-executor robots parse cache keyed by content (P8). Deliberately
+  * stops caching (rather than evicting) past 10k distinct bodies: robots
+  * bodies repeat per host and the parse is cheap, so an unbounded-growth
+  * guard is all that's needed at sandbox scale; a M-host deployment would
+  * swap this for an LRU keyed by body hash. */
 object RobotsCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Robots.RobotsData]()
   def get(txt: String): Robots.RobotsData = {

@@ -20,13 +20,14 @@ import java.nio.charset.StandardCharsets
   * (north_rule resumability). Append-only tables (snapshots, links, fetch_log,
   * lineage) append a new version containing only the delta and are read as the
   * union of all committed versions (merge-on-read, like Iceberg's append
-  * manifests); mutable state tables (frontier, host_state) rewrite.
+  * manifests); small mutable state tables (host_state, whitelist) rewrite.
   *
-  * The `urls` table is append-mostly with latest-row-wins merge-on-read
-  * (Iceberg MOR equivalent): each wave appends full replacement rows and the
-  * read view keeps max-wave per url. At 10^10 urls this is the layout that
-  * scales — O(delta) write per wave instead of O(table) — with periodic
-  * compaction bounding read amplification.
+  * The two LARGE state tables — `urls` and `frontier` — are append-mostly
+  * with latest-row-wins merge-on-read (Iceberg MOR equivalent): each wave
+  * appends replacement/transition rows and the read view keeps the latest
+  * row per url. At a 10^10-url frontier this is the layout that scales —
+  * O(delta) write per wave instead of O(state) — with periodic compaction
+  * bounding read amplification.
   */
 final class TableStore(spark: SparkSession, rootDir: String) {
 

@@ -43,6 +43,21 @@ object Funcs {
   /** F4: extension -> MIME (ffi.go:60-66); null = unrecognized. */
   val extMimeUdf = udf((ext: String) => FfiTable.extToMime.get(ext).orNull)
 
+  /** F4 reverse: MIME -> extension (ffi.MimeTypeExtension, ffi.go:50-58);
+    * null = unrecognized MIME type. */
+  val mimeExtUdf = udf((mime: String) => FfiTable.mimeToExt.get(mime).orNull)
+
+  /** ffi.SetExtension (ffi.go:68-77): strip the current extension, append
+    * the MIME type's extension; unchanged when the MIME is unrecognized. */
+  val setExtensionUdf = udf { (filename: String, mime: String) =>
+    FfiTable.mimeToExt.get(mime) match {
+      case None => filename
+      case Some(ext) =>
+        val suffix = GoUrl.filepathExt(filename)
+        filename.substring(0, filename.length - suffix.length) + ext
+    }
+  }
+
   /** F8: title extraction (goquery Find("title").Text()). */
   val titleUdf = udf((body: Array[Byte]) => LinkExtract.titleFromBody(body))
 
@@ -98,6 +113,8 @@ object Funcs {
     spark.udf.register("graft_resolve_href", resolveHrefUdf)
     spark.udf.register("graft_filename", filenameUdf)
     spark.udf.register("graft_ext_mime", extMimeUdf)
+    spark.udf.register("graft_mime_ext", mimeExtUdf)
+    spark.udf.register("graft_set_extension", setExtensionUdf)
     spark.udf.register("graft_title", titleUdf)
     spark.udf.register("graft_extract_links", extractLinksUdf)
     spark.udf.register("graft_link_hash", linkHashUdf)

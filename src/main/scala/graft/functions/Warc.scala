@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** WARC/1.0 record emission (S5) — the full record serialization, not just
+  * the projection: version line, typed header fields, blank line, content
+  * block, double-CRLF terminator, exactly as the reference's writer frames
+  * records (/root/reference/vendor/github.com/datatogether/warc/writer.go:
+  * 20-46 — version + fields + CRLF, block + 2xCRLF; response record fields
+  * per record.go:87-135). Empty fields are skipped (writer.go:66-69).
+  *
+  * Determinism deviation (documented): the reference writes header fields
+  * in Go map iteration order — randomized per process. We emit the fields
+  * in the WARC-spec's customary fixed order (Record-ID, Date, Target-URI,
+  * Content-Type, Content-Length), so identical inputs produce identical
+  * bytes at any parallelism.
+  *
+  * Everything is Spark built-ins (concat/length casts) — codegen'd,
+  * UDF-free, so a 100 TB archive emit stays inside WholeStageCodegen.
+  */
+object Warc {
+
+  private val CRLF = "\r\n"
+
+  private def field(key: String, value: Column): Column =
+    when(value.isNull || value === "", lit(""))
+      .otherwise(concat(lit(key + ": "), value, lit(CRLF)))
+
+  /** One WARC response record as a string column. `body` is the raw
+    * captured content (the HTTP payload block); Content-Length counts its
+    * BYTES (octet_length), never characters. */
+  def responseRecordCol(targetUri: Column, dateIso: Column, recordId: Column,
+      body: Column): Column =
+    concat(
+      lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: response" + CRLF),
+      field("WARC-Record-ID", recordId),
+      field("WARC-Date", dateIso),
+      field("WARC-Target-URI", targetUri),
+      field("Content-Type", lit("application/http; msgtype=response")),
+      field("Content-Length", octet_length(body).cast("string")),
+      lit(CRLF), body, lit(CRLF + CRLF))
+
+  /** warcinfo file-header record (record.go:47-84). */
+  def warcInfoRecordCol(recordId: Column, dateIso: Column,
+      filename: Column, body: Column): Column =
+    concat(
+      lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: warcinfo" + CRLF),
+      field("WARC-Record-ID", recordId),
+      field("WARC-Date", dateIso),
+      field("WARC-Filename", filename),
+      field("Content-Type", lit("application/warc-fields")),
+      field("Content-Length", octet_length(body).cast("string")),
+      lit(CRLF), body, lit(CRLF + CRLF))
+}

@@ -207,45 +207,71 @@ object Dedup {
   /** Embedding cosine near-dup pairs: banded hyperplane LSH (OR of `bands`
     * AND-bands of `rowsPerBand` hyperplanes each) + exact cosine verify.
     *
-    * Round 1 used a single 12-plane AND band — recall ~(1-theta/pi)^12 ~ 0.28
-    * at cosine 0.95, i.e. it silently missed most near-dups. The banded
-    * OR-construction (same layout as minhashPairs) gives
-    * P(candidate) = 1-(1-p^r)^b with p = 1-theta/pi: at cosine 0.95
-    * (theta <= 0.318, p >= 0.899) and r=4, b=24 the miss probability per true
-    * pair is ~2e-12. Candidates then pass an exact cosine filter, so false
-    * positives cost time, never correctness. Buckets wider than `maxBucket`
-    * are excluded (capBuckets) — identical embeddings route through an exact
-    * hash-groupBy instead.
-    */
+    * Recall math (round-1 fix): the banded OR-construction gives
+    * P(candidate) = 1-(1-p^r)^b with p = 1-theta/pi — at cosine 0.95
+    * (theta <= 0.318, p >= 0.899) and r=4, b=24 the per-true-pair miss
+    * probability is ~2e-12. Candidates pass an exact cosine filter, so
+    * false positives cost time, never correctness.
+    *
+    * Structure (round-2 cliff fix): the corpus is first collapsed to
+    * DISTINCT vectors — content-hash groups with a representative id — and
+    * the LSH banding, bucket cap and pairwise verify run over the
+    * representatives only. Duplicate-dense corpora (the realistic 100 TB
+    * hazard: millions of byte-identical embeddings) previously filled a
+    * bucket past `maxBucket` with copies of one vector and were silently
+    * dropped — a recall cliff that grew with corpus size. Now bucket width
+    * measures near-dup DIVERSITY (distinct vectors), multiplicity is
+    * handled by exact grouping, and member pairs are expanded from the
+    * verified representative pairs at the end:
+    *   - same-key pairs: exact duplicates, cosine 1 by definition;
+    *   - cross-key pairs: inherit their representatives' exact cosine
+    *     (members are bit-identical to their representative).
+    * All joins before the final expansion move narrow (key, id, band,
+    * bucket) rows; vectors rejoin by representative id only for the
+    * verify. */
   def embeddingDupPairs(emb: DataFrame, dim: Int, rowsPerBand: Int = 4,
       bands: Int = 24, minCosine: Double = 0.95, seed: Long = 7L,
       maxBucket: Int = 4096): DataFrame = {
-    val bandStructs = array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        Similarity.hyperplaneSig(col("embedding"), dim, rowsPerBand,
-          seed + 0x51ed2701L * b).as("bucket"))): _*)
-    // candidate generation and dedup run on NARROW (id, band, bucket) rows —
-    // never shuffle the vectors through the self-join (a band-dense corpus
-    // otherwise drags two dim-float arrays per candidate row through the
-    // exchange; measured 143s -> ~2s at sf0.1)
+    // fixed-width digest as the duplicate-group key (never join raw arrays)
+    val keyed = emb.select(col("vec_id"),
+      sha2(to_json(col("embedding")).cast("binary"), 256).as("vkey"))
+    val reps = keyed.groupBy("vkey").agg(min("vec_id").as("rep_id"))
+    val repVecs = reps
+      .join(emb.select(col("vec_id").as("rep_id"), col("embedding")), Seq("rep_id"))
+
     val banded = capBuckets(
-      emb.select(col("vec_id"), explode(bandStructs).as("bc"))
-        .select(col("vec_id"), col("bc.band").as("band"),
+      repVecs.select(col("vkey"),
+          Similarity.bandedSig(col("embedding"), dim, rowsPerBand, bands, seed)
+            .as("bc"))
+        .select(col("vkey"), col("bc.band").as("band"),
           col("bc.bucket").as("bucket")),
       maxBucket, Seq("band", "bucket"))
-    val pairIds = banded.alias("a").join(banded.alias("b"),
+    val keyPairs = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
-    // exact cosine verify: join the vectors back by id (the re-rank shape —
-    // two hash joins against the embeddings table, same as verifyJaccard)
-    val e = emb.select(col("vec_id"), col("embedding"))
-    pairIds
-      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))
-      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+          col("a.vkey") < col("b.vkey"))
+      .select(col("a.vkey").as("ka"), col("b.vkey").as("kb"))
+      .dropDuplicates("ka", "kb")
+    // exact cosine verify on representative vectors (two id-keyed joins)
+    val v = repVecs.select(col("vkey"), col("embedding"))
+    val simKeys = keyPairs
+      .join(v.select(col("vkey").as("ka"), col("embedding").as("ea")), Seq("ka"))
+      .join(v.select(col("vkey").as("kb"), col("embedding").as("eb")), Seq("kb"))
       .withColumn("cosine", Similarity.cosineCol(col("ea"), col("eb")))
       .filter(col("cosine") >= minCosine)
-      .select("a_id", "b_id", "cosine")
+      .select("ka", "kb", "cosine")
+
+    // expansion: within-group exact-duplicate pairs + cross-group member
+    // pairs (each vec_id belongs to exactly one key, so no dedup needed)
+    val m = keyed.select(col("vkey"), col("vec_id"))
+    val dupPairs = m.alias("a").join(m.alias("b"),
+        col("a.vkey") === col("b.vkey") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        lit(1.0d).as("cosine"))
+    val crossPairs = simKeys
+      .join(m.select(col("vkey").as("ka"), col("vec_id").as("ia")), Seq("ka"))
+      .join(m.select(col("vkey").as("kb"), col("vec_id").as("ib")), Seq("kb"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("cosine"))
+    dupPairs.unionByName(crossPairs).select("a_id", "b_id", "cosine")
   }
 }

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side layout is real — schema, batched per-partition processing,
   * deterministic partitioning. Image decode is REAL (JDK javax.imageio
-  * header read: png/jpeg/gif/bmp width/height); audio/video metadata is a
-  * declared deterministic STUB (no AV codecs in this container) — swapping
-  * in a real prober is a drop-in replacement of `avStub` inside the same
+  * header read: png/jpeg/gif/bmp width/height). Audio/video duration is a
+  * REAL pure-JVM container-header parse for the two ubiquitous formats —
+  * WAV/RIFF (fmt byte-rate x data-chunk size) and MP4 (moov/mvhd
+  * timescale/duration) — no codec needed; other A/V containers degrade to
+  * size-only metadata. Full-frame decode would slot into the same
   * mapPartitions batch loop (the JVM analogue of mapInPandas batches).
   */
 object Multimodal {
@@ -57,14 +59,79 @@ object Multimodal {
           MediaMeta(fmt, 0, 0, 0L, n.toLong)
       }
     } else if (sniffed.startsWith("audio/") || sniffed.startsWith("video/")) {
-      avStub(fmt, n)
+      val dur = try {
+        sniffed match {
+          case "audio/wave" => wavDurationMs(bytes)
+          case "video/mp4"  => mp4DurationMs(bytes)
+          case _            => 0L // no header parser for this container yet
+        }
+      } catch { case _: RuntimeException => 0L } // corrupt header → unknown
+      MediaMeta(fmt, 0, 0, dur, n.toLong)
     } else MediaMeta(fmt, 0, 0, 0L, n.toLong)
   }
 
-  /** STUB A/V metadata — deterministic fake duration from byte length;
-    * ??? a real container probe (mp4 moov / ogg pages) goes here. */
-  private def avStub(fmt: String, n: Int): MediaMeta =
-    MediaMeta(fmt, 0, 0, n.toLong * 8, n.toLong)
+  /** WAV/RIFF duration: walk the chunk list, read the fmt chunk's byte rate
+    * and the data chunk's declared size — duration_ms = data*1000/byteRate.
+    * Header-only arithmetic: works on truncated bodies (declared sizes, not
+    * actual payload). Returns 0 when the header is malformed. */
+  private[ops] def wavDurationMs(bytes: Array[Byte]): Long = {
+    def u32le(o: Int): Long =
+      (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    var byteRate = 0L
+    var dataLen = -1L
+    var off = 12 // past RIFF<size>WAVE
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "ISO-8859-1")
+      val size = u32le(off + 4)
+      if (size > Int.MaxValue) return 0L
+      if (id == "fmt " && off + 20 <= bytes.length) byteRate = u32le(off + 16)
+      if (id == "data") dataLen = size
+      off += 8 + size.toInt + (size.toInt & 1) // chunks are 2-byte aligned
+    }
+    if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
+  }
+
+  /** MP4 duration: find the top-level moov box, its mvhd child, and compute
+    * duration/timescale (version 0 and 1 layouts, 64-bit box sizes
+    * honored). Returns 0 when the boxes are absent or malformed. */
+  private[ops] def mp4DurationMs(bytes: Array[Byte]): Long = {
+    def u32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def u64(o: Int): Long =
+      (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (bytes(o + i) & 0xffL))
+    def findBox(start: Int, end: Int, name: String): Option[(Int, Int)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val size32 = u32(off)
+        val tpe = new String(bytes, off + 4, 4, "ISO-8859-1")
+        val (hdr, boxSize) =
+          if (size32 == 1 && off + 16 <= end) (16, u64(off + 8))
+          else (8, size32)
+        if (boxSize < hdr || boxSize > Int.MaxValue) return None
+        if (tpe == name)
+          return Some((off + hdr, math.min(end.toLong, off + boxSize).toInt))
+        off += boxSize.toInt
+      }
+      None
+    }
+    (for {
+      (ms, me) <- findBox(0, bytes.length, "moov")
+      (hs, he) <- findBox(ms, me, "mvhd")
+    } yield {
+      val version = bytes(hs) & 0xff
+      if (version == 1 && hs + 32 <= he) {
+        val timescale = u32(hs + 20) // 4 version/flags + 8 ctime + 8 mtime
+        val duration = u64(hs + 24)
+        if (timescale > 0) duration * 1000L / timescale else 0L
+      } else if (version == 0 && hs + 20 <= he) {
+        val timescale = u32(hs + 12) // 4 version/flags + 4 ctime + 4 mtime
+        val duration = u32(hs + 16)
+        if (timescale > 0) duration * 1000L / timescale else 0L
+      } else 0L
+    }).getOrElse(0L)
+  }
 
   @deprecated("use decode — kept for round-1 spec compatibility", "r2")
   def decodeStub(bytes: Array[Byte]): MediaMeta = decode(bytes)

@@ -78,38 +78,52 @@ object Similarity {
       .select("query_id", "vec_id", "rank", "cosine")
   }
 
-  /** Multi-probe LSH ANN top-k.
+  /** The banded hyperplane signature explode shared by ANN and the
+    * embedding near-dup pipeline: `bands` independent AND-bands of
+    * `rowsPerBand` hyperplanes each, OR-amplified by the bucket join. */
+  private[ops] def bandedSig(v: Column, dim: Int, rowsPerBand: Int,
+      bands: Int, seed: Long): Column =
+    explode(array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        hyperplaneSig(v, dim, rowsPerBand, seed + 0x51ed2701L * b)
+          .as("bucket"))): _*))
+
+  /** Banded-LSH ANN top-k.
     *
-    * Single-bucket probing has recall ~(1-theta/pi)^planes — useless at 10+
-    * planes (measured 7/50 rows vs brute force in round 1). Multi-probe
-    * recovers recall without more tables: each query probes every bucket
-    * within `maxFlips` Hamming distance of its own signature (the standard
-    * multi-probe LSH construction — perturb the signature bits most likely
-    * to have landed on the wrong side of a hyperplane; we probe all of them,
-    * which is strictly better and still only sum C(planes,f) buckets).
+    * Round 2 used single-table multi-probe (probe all buckets within
+    * `maxFlips` Hamming distance): at planes=10/maxFlips=3 each query
+    * touched 176/1024 buckets ≈ 17% of the corpus, and candidate rows
+    * dragged both float arrays through the dedup exchange. This is the
+    * banded OR-construction instead (the embeddingDupPairs layout):
+    * P(candidate) = 1-(1-p^r)^b with p = 1-theta/pi — at r=4, b=24 a
+    * cosine-0.95 neighbor is missed with probability ~2e-12, while an
+    * orthogonal vector (p=0.5) collides in any band with chance
+    * 1-(1-1/16)^24 ≈ 0.79 per band set but each band bucket holds only
+    * ~1/2^r of the corpus — expected probed fraction ~b/2^r ≈ bucket-
+    * population-bound, not enumeration-bound.
     *
-    * Scale shape: probes explode the *query* side only (queries << corpus),
-    * the corpus is signed once and shuffled/broadcast-joined on bucket;
-    * candidates dedup on (query_id, vec_id) before the cosine evaluation, so
-    * cost is (probed-bucket population) x queries, never O(corpus x queries).
+    * Scale shape: the corpus is signed ONCE into narrow (vec_id, band,
+    * bucket) rows; the tiny query side broadcasts; candidate generation and
+    * dedup shuffle only (query_id, vec_id) id pairs — the vectors rejoin BY
+    * ID for the exact cosine re-rank (verifyJaccard layout), so no array
+    * column ever crosses the candidate exchange.
     */
   def lshTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
-      planes: Int = 10, seed: Long = 7L, maxFlips: Int = 3): DataFrame = {
-    require(planes <= 20, "probe mask enumeration requires planes <= 20")
-    val embB = emb.withColumn("bucket",
-      hyperplaneSig(col("embedding"), dim, planes, seed))
-    val qSig = queries.withColumn("sig",
-      hyperplaneSig(col("query_vec"), dim, planes, seed))
-    val masks: Seq[Long] = (0L until (1L << planes))
-      .filter(m => java.lang.Long.bitCount(m) <= maxFlips)
-    val qProbes = qSig.withColumn("bucket",
-      explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)))
-    val cand = embB.alias("e").join(broadcast(qProbes.alias("q")), Seq("bucket"))
-      .select(col("q.query_id"), col("q.query_vec"), col("e.vec_id"),
-        col("e.embedding"))
+      rowsPerBand: Int = 4, bands: Int = 24, seed: Long = 7L): DataFrame = {
+    val embB = emb.select(col("vec_id"),
+        bandedSig(col("embedding"), dim, rowsPerBand, bands, seed).as("bc"))
+      .select(col("vec_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+    val qB = queries.select(col("query_id"),
+        bandedSig(col("query_vec"), dim, rowsPerBand, bands, seed).as("bc"))
+      .select(col("query_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+    val candIds = embB.join(broadcast(qB), Seq("band", "bucket"))
+      .select(col("query_id"), col("vec_id"))
       .dropDuplicates("query_id", "vec_id")
-    val scored = cand.select(col("query_id"), col("vec_id"),
-      cosineCol(col("query_vec"), col("embedding")).as("cosine"))
+    val scored = candIds
+      .join(broadcast(queries), Seq("query_id"))
+      .join(emb, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("query_vec"), col("embedding")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "rank", "cosine")

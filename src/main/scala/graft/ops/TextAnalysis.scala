@@ -21,16 +21,68 @@ object TextAnalysis {
     "it" -> Set("il", "la", "di", "che", "e", "un", "una", "per", "non", "con",
       "del", "le", "si", "da", "come", "anche", "nel", "alla", "più", "sono"))
 
+  /** Unicode-script pre-classification: non-Latin scripts identify the
+    * language (or its overwhelmingly dominant language) without stopwords —
+    * CJK (Hiragana/Katakana ⇒ ja; Han alone ⇒ zh; Hangul ⇒ ko), Cyrillic ⇒
+    * ru, Arabic ⇒ ar, Greek ⇒ el, Hebrew ⇒ he, Thai ⇒ th, Devanagari ⇒ hi.
+    * Latin-script text falls through to the stopword profiles. Counts the
+    * first 2000 chars' letters; a script wins at >= 25% of letter mass. */
+  private def scriptLang(text: String): Option[String] = {
+    import java.lang.Character.UnicodeScript
+    var letters = 0
+    var han = 0; var kana = 0; var hangul = 0; var cyr = 0; var arab = 0
+    var greek = 0; var hebrew = 0; var thai = 0; var deva = 0
+    var i = 0
+    val n = math.min(text.length, 2000)
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      if (Character.isLetter(cp)) {
+        letters += 1
+        UnicodeScript.of(cp) match {
+          case UnicodeScript.HAN                               => han += 1
+          case UnicodeScript.HIRAGANA | UnicodeScript.KATAKANA => kana += 1
+          case UnicodeScript.HANGUL                            => hangul += 1
+          case UnicodeScript.CYRILLIC                          => cyr += 1
+          case UnicodeScript.ARABIC                            => arab += 1
+          case UnicodeScript.GREEK                             => greek += 1
+          case UnicodeScript.HEBREW                            => hebrew += 1
+          case UnicodeScript.THAI                              => thai += 1
+          case UnicodeScript.DEVANAGARI                        => deva += 1
+          case _                                               => ()
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    if (letters == 0) None
+    else {
+      def wins(c: Int): Boolean = c * 4 >= letters
+      if (wins(kana) || (kana > 0 && wins(kana + han))) Some("ja")
+      else if (wins(han)) Some("zh")
+      else if (wins(hangul)) Some("ko")
+      else if (wins(cyr)) Some("ru")
+      else if (wins(arab)) Some("ar")
+      else if (wins(greek)) Some("el")
+      else if (wins(hebrew)) Some("he")
+      else if (wins(thai)) Some("th")
+      else if (wins(deva)) Some("hi")
+      else None
+    }
+  }
+
   def detectLanguage(text: String): String = {
     if (text == null || text.isEmpty) return "und"
-    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty).take(500)
-    if (toks.isEmpty) return "und"
-    var best = "und"; var bestScore = 0
-    profiles.foreach { case (lang, stops) =>
-      val score = toks.count(stops.contains)
-      if (score > bestScore) { best = lang; bestScore = score }
+    scriptLang(text) match {
+      case Some(lang) => lang
+      case None =>
+        val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty).take(500)
+        if (toks.isEmpty) return "und"
+        var best = "und"; var bestScore = 0
+        profiles.foreach { case (lang, stops) =>
+          val score = toks.count(stops.contains)
+          if (score > bestScore) { best = lang; bestScore = score }
+        }
+        if (bestScore * 20 < toks.length) "und" else best // >= 5% stopword mass
     }
-    if (bestScore * 20 < toks.length) "und" else best // need >= 5% stopword mass
   }
 
   val langIdUdf = udf((t: String) => detectLanguage(t))

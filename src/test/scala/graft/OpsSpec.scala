@@ -104,6 +104,18 @@ class DedupSpec extends AnyFunSuite {
     val g = Dedup.exactGroups(many).collect()
     assert(g.length == 1 && g.head.getAs[Long]("dup_count") == 10000L)
   }
+
+  test("mass-identical embeddings bypass the bucket cap via exact grouping") {
+    // 1000 byte-identical vectors: round 2 capped the (1-vector-wide,
+    // 1000-member) bucket and returned ZERO pairs — the recall cliff. Reps
+    // collapse to one, LSH sees a 1-wide bucket, and the exact-duplicate
+    // expansion emits every member pair.
+    val many = (0L until 1000L).map(i =>
+      (i, Array(1.0f, 0.25f, -0.5f, 0.125f))).toDF("vec_id", "embedding")
+    val n = Dedup.embeddingDupPairs(many, dim = 4, rowsPerBand = 2, bands = 8,
+      minCosine = 0.95, maxBucket = 100).count()
+    assert(n == 1000L * 999 / 2, s"expected all identical pairs, got $n")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -133,14 +145,15 @@ class SimilaritySpec extends AnyFunSuite {
     }.toDF("vec_id", "embedding")
     val q = emb.filter($"vec_id" === 0L)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
-    val top = Similarity.lshTopK(emb, q, dim = 3, k = 5, planes = 3, maxFlips = 0)
+    // one band of 3 planes = the single-probe construction
+    val top = Similarity.lshTopK(emb, q, dim = 3, k = 5, rowsPerBand = 3, bands = 1)
     val ids = top.select("vec_id").as[Long].collect().toSet
     assert(ids.contains(0L))
     // single-probe candidates must come from the same (even) cluster
     assert(ids.forall(_ % 2 == 0))
   }
 
-  test("multi-probe LSH top-k recall >= 0.9 vs brute force on clustered data") {
+  test("banded LSH top-k recall >= 0.9 vs brute force on clustered data") {
     // Hyperplane LSH retrieves NEAR neighbors; on uniform-random vectors the
     // true top-10 sit at cosine ~0.3 (measured on the driver fixture) where
     // no sublinear method has signal — so recall is asserted on a corpus
@@ -156,11 +169,34 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
     val truth = Similarity.bruteForceTopK(emb, q, k = 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val got = Similarity.lshTopK(emb, q, dim = 64, k = 10, planes = 10,
-        maxFlips = 3)
+    val got = Similarity.lshTopK(emb, q, dim = 64, k = 10, rowsPerBand = 4,
+        bands = 24)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (truth intersect got).size.toDouble / truth.size
     assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("no array column crosses the LSH candidate exchange (plan assertion)") {
+    val emb = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.limit(3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val top = Similarity.lshTopK(emb, q, dim = 8, k = 5)
+    val exchanges = top.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the candidate-dedup exchange partitions on (query_id, vec_id); it must
+    // carry no array column (round-2 anti-pattern: both vectors rode along)
+    exchanges.foreach { e =>
+      val part = e.outputPartitioning.toString
+      if (part.contains("query_id") && part.contains("vec_id")) {
+        val arrays = e.output.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty,
+          s"arrays ${arrays.map(_.name)} cross the candidate exchange")
+      }
+    }
   }
 }
 
@@ -177,6 +213,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       "le chat est dans la maison avec les enfants et le chien pour une") == "fr")
     assert(TextAnalysis.detectLanguage("xyzzy qwerty plugh") == "und")
     assert(TextAnalysis.detectLanguage("") == "und")
+  }
+
+  test("language id: non-Latin scripts detected without stopwords") {
+    assert(TextAnalysis.detectLanguage("これは日本語のテストです") == "ja")
+    assert(TextAnalysis.detectLanguage("日本語の文章です ひらがな混じり") == "ja")
+    assert(TextAnalysis.detectLanguage("这是一个中文测试文档") == "zh")
+    assert(TextAnalysis.detectLanguage("이것은 한국어 문서입니다") == "ko")
+    assert(TextAnalysis.detectLanguage("это русский текст для проверки") == "ru")
+    assert(TextAnalysis.detectLanguage("هذا نص عربي للاختبار") == "ar")
+    assert(TextAnalysis.detectLanguage("ελληνικό κείμενο δοκιμής") == "el")
+    assert(TextAnalysis.detectLanguage("זהו טקסט בעברית לבדיקה") == "he")
+    assert(TextAnalysis.detectLanguage("นี่คือข้อความภาษาไทย") == "th")
+    assert(TextAnalysis.detectLanguage("यह हिंदी में एक परीक्षण है") == "hi")
+    // Latin text with a couple of CJK chars stays on the stopword path
+    assert(TextAnalysis.detectLanguage(
+      "the cat and the dog of the house was for them 漢字") == "en")
   }
 
   test("quality signals arithmetic") {
@@ -253,6 +305,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 3)
     assert(out.find(_.media_id == 1L).get.format == "gif")
     assert(out.forall(_.feature.length == 16))
+  }
+
+  test("WAV header duration: data bytes / byte rate, truncated body ok") {
+    def wav(byteRate: Int, dataLen: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+        .putInt(44100).putInt(byteRate).putShort(4).putShort(16)
+      bb.put("data".getBytes).putInt(dataLen)
+      bb.array()
+    }
+    val m = Multimodal.decode(wav(176400, 882000)) // 5 s of CD stereo
+    assert(m.format == "wave" && m.duration_ms == 5000L)
+    assert(Multimodal.decode(wav(8000, 4000)).duration_ms == 500L)
+    // malformed: truncated mid-header → 0, no throw
+    val trunc = wav(8000, 4000).take(20)
+    assert(Multimodal.decode(trunc).duration_ms == 0L)
+  }
+
+  test("MP4 mvhd duration: v0 and v1 layouts") {
+    def mp4(version: Int, timescale: Int, duration: Long): Array[Byte] = {
+      val mvhdBody = if (version == 0) 100 else 112
+      val bb = java.nio.ByteBuffer.allocate(16 + 8 + 8 + mvhdBody)
+      bb.putInt(16).put("ftyp".getBytes).put("mp42".getBytes).putInt(0)
+      bb.putInt(16 + mvhdBody).put("moov".getBytes)
+      bb.putInt(8 + mvhdBody).put("mvhd".getBytes)
+      bb.putInt(version << 24)
+      if (version == 0)
+        bb.putInt(0).putInt(0).putInt(timescale).putInt(duration.toInt)
+      else
+        bb.putLong(0L).putLong(0L).putInt(timescale).putLong(duration)
+      bb.array()
+    }
+    val v0 = Multimodal.decode(mp4(0, 600, 1800))
+    assert(v0.format == "mp4" && v0.duration_ms == 3000L)
+    val v1 = Multimodal.decode(mp4(1, 90000, 450000L))
+    assert(v1.duration_ms == 5000L)
+    // no moov box → 0
+    val noMoov = mp4(0, 600, 1800).take(16)
+    assert(Multimodal.decode(noMoov).duration_ms == 0L)
   }
 
   test("mediaMeta DataFrame projection") {

@@ -115,6 +115,80 @@ class ScaleCrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("frontier writes are O(delta) transitions, never O(queue depth)") {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("frontier-delta"))
+    // a deep backlog: 2 hosts x 48 pages, out-degree 10, short politeness
+    // window — takes are budget-bound (<= window/delay per host) while the
+    // queue accumulates, so depth >> per-wave delta after a few waves
+    val deep = Fixtures.ScaleConfig(hosts = 2, pagesPerHost = 48,
+      outDegree = 10, contentFraction = 0.0, fillerParagraphs = 1)
+    val s = new Scheduler(spark, store,
+      CrawlConfig(waveWindowSec = 8.0, compactEvery = 0))
+    s.bootstrap(Fixtures.scaleSitePages(spark, deep).toDF(),
+      Fixtures.sourcesDF(spark, Fixtures.scaleSiteSources(deep, crawlingHosts = 2)))
+    val stats = s.run(maxWaves = 12)
+    // per-wave frontier rows written, from the committed lineage evidence
+    val fw = s.lineageView.filter($"table" === "frontier")
+      .groupBy("wave").agg(sum("rows").as("rows")).collect()
+      .map(r => r.getAs[Long]("wave") -> r.getAs[Long]("rows")).toMap
+    // every wave's frontier write is bounded by its own transition delta
+    // (seeds <= 610 caps, takes, blocked <= takes, enqueues) — independent
+    // of the standing queue depth
+    stats.foreach { st =>
+      val bound = 2 * st.taken + st.enqueued + 620
+      assert(fw.getOrElse(st.wave, 0L) <= bound,
+        s"wave ${st.wave} wrote ${fw(st.wave)} frontier rows, delta bound $bound")
+    }
+    // and the backlog provably exceeded the written delta somewhere
+    val deepWaves = stats.filter(st =>
+      st.frontierDepth > 2 * fw.getOrElse(st.wave, Long.MaxValue))
+    assert(deepWaves.nonEmpty,
+      "no wave had depth > 2x frontier writes: " + stats.map(st =>
+        s"w${st.wave}:depth=${st.frontierDepth},wrote=${fw.getOrElse(st.wave, -1L)}")
+        .mkString(" "))
+  }
+
+  test("politeness budget: WindowGroupLimit prunes below the exchange; no robots text in the window") {
+    val store = new TableStore(spark, SparkTestBase.tempDir("budget-plan"))
+    val s = new Scheduler(spark, store, CrawlConfig())
+    val queued = (0 until 300).map(i =>
+      (s"http://h${i % 3}/p$i", "GET", s"h${i % 3}", "A", 0L, i.toLong, "queued"))
+      .toDF("url", "method", "host", "lane", "wave", "seq", "state")
+    val hostPlan = Seq(
+      ("h0", "A", false, "User-agent: *\nDisallow: /x\n", 1.0, 0.0),
+      ("h1", "A", false, "", 2.0, 0.0),
+      ("h2", "A", true, "User-agent: *\n", 1.0, 0.0))
+      .toDF("host", "lane", "robots_now", "eff_robots_txt", "eff_delay", "start_vt")
+    val b = s.politeBudget(queued, hostPlan, waveEnd = 8.0, rankBound = 9)
+    // plan: the rank pre-filter must reach the WindowGroupLimit operator
+    assert(b.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank pre-filter did not produce a WindowGroupLimit")
+    // plan: the window subtree must not carry the robots body
+    val windows = b.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(!w.output.exists(_.name.contains("robots_txt")),
+        "robots text enters the window exchange")
+    }
+    // semantics: per-host budget = floor(window/delay) rows at delay spacing
+    val rows = b.collect()
+    val perHost = rows.groupBy(_.getAs[String]("host")).view.mapValues(_.length).toMap
+    assert(perHost("h0") == 8)  // 8s window / 1s delay
+    assert(perHost("h1") == 4)  // 8s / 2s
+    assert(perHost("h2") == 7)  // robots fetch consumes the first slot
+    // FIFO per host and robots text joined back for the gate
+    rows.groupBy(_.getAs[String]("host")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Double]("vt"))
+      assert(sorted.map(_.getAs[Long]("seq")).sameElements(
+        sorted.map(_.getAs[Long]("seq")).sorted))
+    }
+    assert(rows.filter(_.getAs[String]("host") == "h0")
+      .forall(_.getAs[String]("eff_robots_txt").contains("Disallow")))
+  }
+
   test("uncrawlable urls are never enqueued or fetched") {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val store = new TableStore(spark, SparkTestBase.tempDir("uncrawl-crawl"))
@@ -133,6 +207,24 @@ class ScaleCrawlSpec extends AnyFunSuite {
     assert(fetched == 0L, s"uncrawlable $victim was scheduled")
     val inFrontier = s.frontierView.filter($"url" === victim).count()
     assert(inFrontier == 0L, s"uncrawlable $victim entered the frontier")
+  }
+
+  test("soft-deleted sources neither seed nor whitelist (qSourcesCrawling P9)") {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("deleted-src"))
+    val s = new Scheduler(spark, store, CrawlConfig(waveWindowSec = 48.0))
+    val pages = Fixtures.scaleSitePages(spark, cfg).toDF()
+      .unionByName(Fixtures.pagesDF(spark, Fixtures.adminPages(cfg)))
+    val sources = Fixtures.scaleSiteSources(cfg, crawlingHosts = 4)
+      .map(src => if (src.url == Fixtures.hostName(2)) src.copy(deleted = true) else src)
+    s.bootstrap(pages, Fixtures.sourcesDF(spark, sources))
+    s.run(maxWaves = 12)
+    val gets = s.fetchLogView
+      .filter($"method" === "GET" && $"outcome" === "ok" && $"lane" === "A")
+      .select("url").as[String].collect().toSet
+    assert(gets.contains(s"http://${Fixtures.hostName(0)}"), "live source did not seed")
+    assert(!gets.exists(_.contains(Fixtures.hostName(2))),
+      "soft-deleted source still seeded / whitelisted")
   }
 
   test("crawl converges: every whitelisted html page reachable from roots is fetched") {

@@ -676,6 +676,36 @@ object SparkEntry {
     "t8_quality_filter" -> ((s, d) =>
       TextAnalysis.qualityScore(t(s, d, "documents"))
         .filter(col("quality") >= 0.8).select("doc_id", "quality")),
+    // T9: PII scrubbing over planted emails/phones (codegen'd
+    // regexp_replace; RE2-compatible patterns shared with the oracle)
+    "t9_pii_scrub" -> ((s, d) => {
+      val planted = concat(lit("contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" about "), col("source"))
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.piiScrub(planted).as("scrubbed"))
+    }),
+    // T10: line-repetition ratio over planted boilerplate (arithmetic truth)
+    "t10_repetition" -> ((s, d) => {
+      val text2 = concat(
+        expr("repeat('dup line\\n', cast(doc_id % 4 + 1 as int))"),
+        lit("unique "), col("doc_id").cast("string"))
+      t(s, d, "documents").select(col("doc_id"),
+        round(TextAnalysis.repetitionRatio(text2), 4).as("rep_ratio"))
+    }),
+    // D8: canonical-url dedup — groups of 3 docs share a base url behind
+    // per-doc fragments; stripping the fragment merges them, keep-first
+    "d8_url_canonical_dedup" -> ((s, d) => {
+      val base = col("doc_id") - col("doc_id") % 3
+      val u = concat(urlCol(base),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit("#v"), (col("doc_id") % 3).cast("string")))
+          .otherwise(lit("")))
+      t(s, d, "documents")
+        .select(col("doc_id"), regexp_replace(u, "#.*$", "").as("canonical"))
+        .groupBy("canonical")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+    }),
     // A10: per-domain rollup over the synthesized url universe
     "a10_domain_rollup" -> ((s, d) => {
       t(s, d, "documents")
@@ -859,6 +889,15 @@ object SparkEntry {
       "SELECT doc_id, quality FROM (SELECT doc_id, round((CASE WHEN toks >= 10 THEN 0.5 ELSE 0.0 END) + (CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 0.3 ELSE 0.0 END) + (CASE WHEN chars >= 100 THEN 0.2 ELSE 0.0 END), 2) AS quality FROM (SELECT doc_id, length(text) AS chars, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS toks, CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE round(CAST(length(text) AS DOUBLE) / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1), 4) END AS mtl FROM documents)) WHERE quality >= 0.8",
     "a10_domain_rollup" ->
       "SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host, count(*) AS n_urls, CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_content FROM documents GROUP BY 1",
+    "t9_pii_scrub" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(" +
+        "concat('contact user', CAST(doc_id AS VARCHAR), '@example.com or +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' about ', source), " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), " +
+        "'\\+\\d{1,3}-\\d{3}-\\d{4}', '[PHONE]', 'g') AS scrubbed FROM documents"),
+    "t10_repetition" ->
+      "SELECT doc_id, round(1.0 - 2.0 / (doc_id % 4 + 2), 4) AS rep_ratio FROM documents",
+    "d8_url_canonical_dedup" ->
+      s"SELECT ${urlsSql.replace("doc_id", "(doc_id - doc_id % 3)")} AS canonical, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
     // pinned golden rows from the deterministic fixture crawl (the
     // crawl engine surfaced through the oracle gate as VALUES literals)
     "crawl1_fixture_urls" ->

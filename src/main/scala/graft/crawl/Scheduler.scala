@@ -336,7 +336,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // one aggregation pass over the backlog yields depth AND the per-host
     // queue head (first_url) — the only two per-host facts a wave needs
     val hostsInPlay = queued.groupBy($"host", $"lane")
-      .agg(count(lit(1)).as("depth"), min_by($"url", $"seq").as("first_url"))
+      .agg(count(lit(1)).as("qdepth"), min_by($"url", $"seq").as("first_url"))
       .join(hostState0, Seq("host", "lane"), "left")
       .withColumn("robots_fetched", coalesce($"robots_fetched", lit(false)))
       .withColumn("start_vt",
@@ -366,7 +366,8 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       .withColumn("eff_delay",
         when($"robots_now" && $"delay_override".isNotNull, $"delay_override")
           .otherwise(coalesce($"crawl_delay_sec", lit(cfg.crawlDelaySec))))
-      .select($"host", $"lane", $"robots_now", $"eff_robots_txt", $"eff_delay", $"start_vt")
+      .select($"host", $"lane", $"robots_now", $"eff_robots_txt", $"eff_delay",
+        $"start_vt", $"qdepth")
       // O(hosts-in-play) rows, referenced by the budget, the robots rejoin
       // and the host-state update — cache instead of re-aggregating the
       // queued backlog three times
@@ -380,10 +381,13 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // rows to the shuffle, not its whole queue), and the window ranks only
     // narrow columns: robots bodies join back per-host AFTER the take.
     // minDelay is one scalar agg over the per-host plan (rows = hosts in
-    // play), not over the backlog.
-    val minDelay: Double = {
-      val r = hostPlan.agg(min($"eff_delay")).head()
-      if (r.isNullAt(0)) cfg.crawlDelaySec else r.getDouble(0)
+    // play), not over the backlog; the same pass yields the total queued
+    // depth (for the post-wave gauge) so the backlog is never re-scanned
+    // just to count it.
+    val (minDelay: Double, queuedTotal: Long) = {
+      val r = hostPlan.agg(min($"eff_delay"), sum($"qdepth")).head()
+      (if (r.isNullAt(0)) cfg.crawlDelaySec else r.getDouble(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     val rankBound: Long =
       if (minDelay > 0) math.ceil(cfg.waveWindowSec / minDelay).toLong + 1
@@ -565,13 +569,14 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         $"seq".as("ord1"), lit(-1L).as("ord2"))
 
     // the `enqued` map check set (crawler.go:27-29): urls still occupying a
-    // frontier slot after this wave's takes — queued minus taken, plus all
-    // blocked tombstones (old and new). Never materialized as a table: the
-    // frontier is MOR — only the transition rows below get written.
-    val frontierActiveUrls = queued
+    // frontier slot after this wave's takes — all active rows (queued and
+    // blocked, one frontier scan) plus this wave's seeds, minus the taken,
+    // plus the new blocked tombstones (taken ⊇ new-blocked, so re-adding
+    // them after the anti-join is exact). Never materialized as a table:
+    // the frontier is MOR — only the transition rows below get written.
+    val frontierActiveUrls = frontier0.select("url")
+      .unionByName(seedRowsCk.select("url"))
       .join(budgeted.select($"url"), Seq("url"), "left_anti")
-      .select("url")
-      .unionByName(frontier0.filter($"state" === StateBlocked).select("url"))
       .unionByName(headBlockedRows.select("url"))
 
     val newEnqueues = linkCands.unionByName(headFollow)
@@ -675,27 +680,31 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
 
     // per-partition lineage of the committed files (T10 resumability
     // evidence): full per-partition rows for the two load-bearing state
-    // tables, footer row-counts for the rest (keeps wave job count bounded)
-    val lineageDF = staged.toSeq.map { case (t, v) =>
-      val read = spark.read.parquet(store.versionPath(t, v))
-      val counted =
-        if (t == "urls" || t == "frontier")
-          read.groupBy(spark_partition_id().as("partition_id"))
-            .agg(count(lit(1)).as("rows"))
-        else read.agg(count(lit(1)).as("rows")).withColumn("partition_id", lit(-1))
-      counted.withColumn("wave", lit(w)).withColumn("table", lit(t))
+    // tables (one Spark job each); every other staged delta is counted from
+    // its parquet FOOTERS on the driver — the same metadata an Iceberg
+    // manifest records at commit time, with zero extra cluster jobs
+    val bigTables = Set("urls", "frontier")
+    val perPart = staged.toSeq.filter(kv => bigTables(kv._1)).map { case (t, v) =>
+      spark.read.parquet(store.versionPath(t, v))
+        .groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("wave", lit(w)).withColumn("table", lit(t))
         .withColumn("version", lit(v))
         .select("wave", "table", "partition_id", "rows", "version")
-    }.reduceOption(_ unionByName _)
-      .getOrElse(emptyDF[LineageRow])
+    }
+    val footerDF = staged.toSeq.filterNot(kv => bigTables(kv._1))
+      .map { case (t, v) =>
+        (w, t, -1, footerRowCount(store.versionPath(t, v)), v)
+      }.toDF("wave", "table", "partition_id", "rows", "version")
+    val lineageDF = (perPart :+ footerDF).reduce(_ unionByName _)
     store.stageAppend("lineage", lineageDF)
 
     val takenCount = budgeted.count()
     val okCount = fetched.filter($"found").count()
     val enqCount = newEnqueues.count()
     // queue depth after this wave, from the deltas (never re-materializes
-    // the frontier): queued-before + seeds - taken + enqueued
-    val depth = queued.count() - takenCount + enqCount
+    // the frontier): queued-before-incl-seeds - taken + enqueued
+    val depth = queuedTotal - takenCount + enqCount
 
     store.commitWave(w)
 
@@ -841,6 +850,24 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   private def emptyUrlRows: DataFrame = {
     import Model._
     emptyDF[UrlRow]
+  }
+
+  /** Sum of parquet-footer record counts under a version dir — commit-time
+    * metadata (what an Iceberg manifest stores), read driver-side without a
+    * Spark job. Only used for the small per-wave deltas. */
+  private def footerRowCount(dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   private def withMor(df: DataFrame, w: Long, prio: Int): DataFrame =

@@ -175,6 +175,25 @@ object TextAnalysis {
       .groupBy("paragraph")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
 
+  /** PII scrubbing (training-data hygiene): replace email addresses and
+    * international-format phone numbers with redaction tokens. Pure
+    * `regexp_replace` — codegen'd, no UDF; the patterns are RE2-compatible
+    * so the same expressions run in any engine. */
+  def piiScrub(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+    regexp_replace(regexp_replace(text, email, "[EMAIL]"), phone, "[PHONE]")
+  }
+
+  /** Line-repetition ratio (boilerplate/spam signal): 1 - distinct/total
+    * over newline-split lines. UDF-free array arithmetic. */
+  def repetitionRatio(text: Column): Column = {
+    val lines = split(text, "\n")
+    when(size(lines) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(lines)).cast("double") / size(lines))
+  }
+
   /** Top-k n-grams by frequency (corpus statistics): tokenize, slide an
     * n-window via transform/slice (codegen'd — no UDF), explode, count,
     * global top-k. The orderBy+limit is a TakeOrderedAndProject, so only k

@@ -264,6 +264,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.length == 3)
   }
 
+  test("PII scrub replaces emails and phones, leaves prose intact") {
+    val out = Seq(
+      "mail me at jo.doe+x@sub.example.org or call +44-555-1234 today",
+      "no pii here at all").toDF("text")
+      .select(TextAnalysis.piiScrub($"text")).as[String].collect()
+    assert(out(0) == "mail me at [EMAIL] or call [PHONE] today")
+    assert(out(1) == "no pii here at all")
+  }
+
+  test("repetition ratio: 1 - distinct/total lines") {
+    val out = Seq("a\na\na\nb", "x\ny\nz", "only").toDF("text")
+      .select(TextAnalysis.repetitionRatio($"text")).as[Double].collect()
+    assert(math.abs(out(0) - 0.5) < 1e-9) // 4 lines, 2 distinct
+    assert(out(1) == 0.0 && out(2) == 0.0)
+  }
+
   test("fingerprint: stable, shifts only locally under edits") {
     val a = TextAnalysis.fingerprint("some long document text with many characters inside it")
     val b = TextAnalysis.fingerprint("some long document text with many characters inside it")

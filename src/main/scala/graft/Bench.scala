@@ -74,7 +74,10 @@ object Bench {
     * URL-seen anti-join. Generation happens in the timed region (it models
     * the parquet scan+decode of a real wave); no blob caching — map-dominant
     * with a string-only shuffle at the end, which is the shape that holds at
-    * cluster scale. Returns urls processed. */
+    * cluster scale (a 3 GB row cache measured strictly slower than
+    * re-decoding). The URL-seen side of the anti-join is the url-only
+    * generator — the engine probes the urls TABLE there, never re-decoded
+    * blobs. Returns urls processed. */
   private def waveKernel(spark: SparkSession, cfg: Fixtures.ScaleConfig): Long = {
     import spark.implicits._
     val debug = sys.env.contains("GRAFT_KERNEL_DEBUG")
@@ -104,7 +107,7 @@ object Bench {
     val links = pages.select($"url".as("src"),
       posexplode(Funcs.extractLinksUdf($"url", $"html")).as(Seq("idx", "dst")))
     val newUrls = links.select($"dst".as("url")).distinct()
-      .join(pages.select($"url"), Seq("url"), "left_anti")
+      .join(Fixtures.scaleSiteUrls(spark, cfg).toDF("url"), Seq("url"), "left_anti")
     newUrls.count()
     mark("extract_dedup_pass")
     n
@@ -116,7 +119,7 @@ object Bench {
     try {
       // JIT/codegen warmup on a smaller run of the same plan
       waveKernel(spark, cfg.copy(hosts = math.max(cfg.hosts / 16, 8)))
-      val times = (0 until 2).map { _ =>
+      val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         waveKernel(spark, cfg)
         (System.nanoTime() - t0) / 1e9
@@ -136,8 +139,15 @@ object Bench {
       .getInputArguments.toArray.map(_.toString)
       .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
         a.startsWith("-D"))
+    // a local[N] measurement must behave like an N-core deployment: without
+    // ActiveProcessorCount the JVM sizes GC/JIT/common pools to the MACHINE
+    // (32), silently granting the small configuration 4x its share of
+    // service threads and corrupting the N-vs-4N ratio (same containment
+    // the local-cluster branch applies to executors)
+    val cores = "local\\[(\\d+)\\]".r.findFirstMatchIn(master).map(_.group(1))
+    val coreArgs = cores.toSeq.map(n => s"-XX:ActiveProcessorCount=$n")
     val cmd = Seq(s"$javaHome/bin/java", "-Xmx24g", "-XX:+UseParallelGC") ++
-      jvmArgs ++ Seq("-cp", cp,
+      coreArgs ++ jvmArgs ++ Seq("-cp", cp,
       "graft.Bench", "kernel", master,
       cfg.hosts.toString, cfg.pagesPerHost.toString, cfg.outDegree.toString,
       cfg.partitions.toString)
@@ -182,13 +192,20 @@ object Bench {
     }
 
     // ---- scaling evidence: identical kernel + identical input + identical
-    // partition layout at N=8 and 4N=32 worker cores, each measurement in a
-    // fresh JIT-cold JVM (the sandbox axis blessed by BASELINE.md; a real
-    // N->4N executor scale-up also multiplies memory bandwidth and GC pools,
-    // which a single box cannot, so this under- not over-states scaling)
-    val (t2, _) = kernelInSubprocess("local[2]", scaleCfg)
-    val (t8, n8) = kernelInSubprocess("local[8]", scaleCfg)
-    val (t32, n32) = kernelInSubprocess("local[32]", scaleCfg)
+    // partition layout at N and 4N worker cores, each measurement in a
+    // fresh JIT-cold JVM pinned to its core count (the sandbox axis blessed
+    // by BASELINE.md; a real N->4N executor scale-up also multiplies memory
+    // bandwidth and GC pools, which a single box cannot, so this under- not
+    // over-states scaling). Single-box timings drift several percent across
+    // JVM launches (hypervisor neighbors, page-cache state), so each level
+    // is measured in TWO interleaved JVMs and the per-level minimum is kept
+    // — interleaving means slow machine phases hit all levels alike instead
+    // of biasing one ratio.
+    val round1 = Seq("local[2]", "local[8]", "local[32]").map(kernelInSubprocess(_, scaleCfg))
+    val round2 = Seq("local[2]", "local[8]", "local[32]").map(kernelInSubprocess(_, scaleCfg))
+    val Seq(t2, t8, t32) = round1.zip(round2).map { case (a, b) => math.min(a._1, b._1) }
+    val n8 = round1(1)._2
+    val n32 = round1(2)._2
     val thr2 = n8 / t2
     val thr8 = n8 / t8
     val thr32 = n32 / t32

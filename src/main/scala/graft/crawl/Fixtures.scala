@@ -197,6 +197,22 @@ object Fixtures {
       }
   }
 
+  /** Url column of the scale site WITHOUT building page bodies — the
+    * URL-seen table side of J8 (the engine probes the urls table there;
+    * only link extraction needs the html). Same url universe as
+    * scaleSitePages. */
+  def scaleSiteUrls(spark: SparkSession, cfg: ScaleConfig): Dataset[String] = {
+    import spark.implicits._
+    val n = cfg.hosts.toLong * cfg.pagesPerHost
+    val parts = if (cfg.partitions > 0) cfg.partitions
+                else spark.sparkContext.defaultParallelism
+    spark.range(0, n + cfg.hosts, 1, parts).map { i =>
+      if (i < n)
+        pageUrl(cfg, (i / cfg.pagesPerHost).toInt, (i % cfg.pagesPerHost).toInt)
+      else s"http://${hostName((i - n).toInt)}/robots.txt"
+    }
+  }
+
   /** The /admin/ pages (present in the site, disallowed by robots). */
   def adminPages(cfg: ScaleConfig): Seq[Page] =
     if (!cfg.adminPages) Seq.empty

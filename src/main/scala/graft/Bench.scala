@@ -24,10 +24,12 @@ import graft.functions.Funcs
 object Bench {
 
   private def session(master: String, shufflePartitions: Int): SparkSession = {
+    val shuffleParts = sys.env.get("GRAFT_SHUFFLE_PARTITIONS")
+      .map(_.toInt).getOrElse(shufflePartitions)
     val b = SparkSession.builder()
       .master(master)
       .appName(s"graft-bench")
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // keep AQE's skew handling but not its size-based coalescing: with
       // blob-heavy rows it collapses the exchange to a handful of fat
@@ -77,15 +79,24 @@ object Bench {
     * cluster scale (a 3 GB row cache measured strictly slower than
     * re-decoding). The URL-seen side of the anti-join is the url-only
     * generator — the engine probes the urls TABLE there, never re-decoded
-    * blobs. Returns urls processed. */
-  private def waveKernel(spark: SparkSession, cfg: Fixtures.ScaleConfig): Long = {
+    * blobs. NOTE: that url-only right side landed in round 3 as a kernel
+    * CORRECTION (the old kernel re-decoded 3 GB of page blobs to project
+    * one column, overstating wave cost), so round-2 and round-3+ headline
+    * numbers are not directly comparable. Returns urls processed. */
+  /** One kernel pass; returns (urls, map-phase sec, dedup-phase sec) — the
+    * phase split lines up with the ThreadScaleProbe phases so each Spark
+    * phase can be judged against its own no-Spark machine ceiling. */
+  private def waveKernel(spark: SparkSession,
+      cfg: Fixtures.ScaleConfig): (Long, Double, Double) = {
     import spark.implicits._
     val debug = sys.env.contains("GRAFT_KERNEL_DEBUG")
     var last = System.nanoTime()
-    def mark(label: String): Unit = if (debug) {
+    def mark(label: String): Double = {
       val now = System.nanoTime()
-      System.err.println(f"[kernel] $label ${(now - last) / 1e9}%.2fs")
+      val dt = (now - last) / 1e9
+      if (debug) System.err.println(f"[kernel] $label $dt%.2fs")
       last = now
+      dt
     }
     val pages = Fixtures.scaleSitePages(spark, cfg).toDF()
 
@@ -100,7 +111,7 @@ object Bench {
     val row = fetched.agg(count(lit(1)), count($"title"), count($"sniff"),
       max(length($"body_hash")), approx_count_distinct($"host")).head()
     val n = row.getLong(0)
-    mark("fetch_map_pass")
+    val tMap = mark("fetch_map_pass")
 
     // href extraction + URL-seen dedup (F9 + J8) — extraction map pass then
     // a string-keyed distinct + anti-join
@@ -109,11 +120,12 @@ object Bench {
     val newUrls = links.select($"dst".as("url")).distinct()
       .join(Fixtures.scaleSiteUrls(spark, cfg).toDF("url"), Seq("url"), "left_anti")
     newUrls.count()
-    mark("extract_dedup_pass")
-    n
+    val tDedup = mark("extract_dedup_pass")
+    (n, tMap, tDedup)
   }
 
-  private def timeKernel(master: String, cfg: Fixtures.ScaleConfig): (Double, Long) = {
+  private def timeKernel(master: String,
+      cfg: Fixtures.ScaleConfig): (Double, Long, Double, Double) = {
     // fixed shuffle layout at both levels: only worker parallelism varies
     val spark = session(master, shufflePartitions = math.max(cfg.partitions, 32))
     try {
@@ -121,10 +133,11 @@ object Bench {
       waveKernel(spark, cfg.copy(hosts = math.max(cfg.hosts / 16, 8)))
       val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
-        waveKernel(spark, cfg)
-        (System.nanoTime() - t0) / 1e9
+        val (_, tm, td) = waveKernel(spark, cfg)
+        ((System.nanoTime() - t0) / 1e9, tm, td)
       }
-      (times.min, cfg.hosts.toLong * cfg.pagesPerHost)
+      val best = times.minBy(_._1)
+      (best._1, cfg.hosts.toLong * cfg.pagesPerHost, best._2, best._3)
     } finally spark.stop()
   }
 
@@ -132,7 +145,8 @@ object Bench {
     * cluster sizes start JIT-cold, against a local-cluster master — real
     * separate executor JVMs with real inter-process shuffles (the sandbox
     * equivalent of spark-submit at N vs 4N executors). */
-  private def kernelInSubprocess(master: String, cfg: Fixtures.ScaleConfig): (Double, Long) = {
+  private def kernelInSubprocess(master: String,
+      cfg: Fixtures.ScaleConfig): (Double, Long, Double, Double) = {
     val javaHome = System.getProperty("java.home")
     val cp = System.getProperty("java.class.path")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -165,15 +179,32 @@ object Bench {
     proc.waitFor()
     require(out.nonEmpty, s"kernel subprocess produced no result (master=$master)")
     val parts = out.toString.stripPrefix("KERNEL ").split(" ")
-    (parts(0).toDouble, parts(1).toLong)
+    (parts(0).toDouble, parts(1).toLong, parts(2).toDouble, parts(3).toDouble)
+  }
+
+  /** Run the no-Spark ThreadScaleProbe in a fresh JVM; returns map/shuffle
+    * phase times at 8 and 32 threads (m8, m32, s8, s32) — the same-session
+    * machine ceiling the kernel's 8→32 axis is judged against. */
+  private def probeInSubprocess(): (Double, Double, Double, Double) = {
+    val javaHome = System.getProperty("java.home")
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(s"$javaHome/bin/java", "-Xmx16g", "-cp", cp, "graft.ThreadScaleProbe")
+    val proc = new ProcessBuilder(cmd: _*).start()
+    val out = new StringBuilder
+    scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+      .foreach { l => if (l.startsWith("PROBE ")) out.append(l) }
+    proc.waitFor()
+    require(out.nonEmpty, "probe subprocess produced no result")
+    val p = out.toString.stripPrefix("PROBE ").split(" ")
+    (p(0).toDouble, p(1).toDouble, p(2).toDouble, p(3).toDouble)
   }
 
   def main(args: Array[String]): Unit = {
     if (args.length >= 2 && args(0) == "kernel") {
       val cfg = Fixtures.ScaleConfig(hosts = args(2).toInt, pagesPerHost = args(3).toInt,
         outDegree = args(4).toInt, partitions = args(5).toInt)
-      val (t, n) = timeKernel(args(1), cfg)
-      println(s"KERNEL $t $n")
+      val (t, n, tm, td) = timeKernel(args(1), cfg)
+      println(s"KERNEL $t $n $tm $td")
       sys.exit(0)
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -201,9 +232,16 @@ object Bench {
     // is measured in TWO interleaved JVMs and the per-level minimum is kept
     // — interleaving means slow machine phases hit all levels alike instead
     // of biasing one ratio.
-    val round1 = Seq("local[2]", "local[8]", "local[32]").map(kernelInSubprocess(_, scaleCfg))
-    val round2 = Seq("local[2]", "local[8]", "local[32]").map(kernelInSubprocess(_, scaleCfg))
-    val Seq(t2, t8, t32) = round1.zip(round2).map { case (a, b) => math.min(a._1, b._1) }
+    val masters = Seq("local[2]", "local[8]", "local[32]")
+    val round1 = masters.map(kernelInSubprocess(_, scaleCfg))
+    // no-Spark machine ceiling measured BETWEEN the kernel rounds of the
+    // same session: the single-box 8→32-thread ceiling drifts run to run
+    // (hypervisor neighbors, memory-bus state), so the kernel's 8→32 axis
+    // is only interpretable against a ceiling captured at the same moment
+    val probe = probeInSubprocess()
+    val round2 = masters.map(kernelInSubprocess(_, scaleCfg))
+    val best = round1.zip(round2).map { case (a, b) => if (a._1 <= b._1) a else b }
+    val Seq(t2, t8, t32) = best.map(_._1)
     val n8 = round1(1)._2
     val n32 = round1(2)._2
     val thr2 = n8 / t2
@@ -212,10 +250,17 @@ object Bench {
     val eff28 = (thr8 / thr2) / 4.0   // N=2 -> 4N=8 cores: clean axis
     val eff832 = (thr32 / thr8) / 4.0 // 8 -> 32: saturates the single box
     val efficiency = eff28
+    // per-phase 8→32 efficiencies vs the matching no-Spark phase ceilings
+    val (pm8, pm32, ps8, ps32) = probe
+    val effMap832 = best(1)._3 / best(2)._3 / 4.0
+    val effDedup832 = best(1)._4 / best(2)._4 / 4.0
+    val ceilMap832 = pm8 / pm32 / 4.0
+    val ceilShuffle832 = ps8 / ps32 / 4.0
 
     // ---- per-query timings + end-to-end fixture crawl at round parallelism
     val spark = session(s"local[$cpus]", cpus)
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       // end-to-end crawl (includes commit overhead — reported separately)
       val crawlT0 = System.nanoTime()
@@ -231,23 +276,33 @@ object Bench {
       // per-query methodology (round-2 finding #4: one shared-JVM cold run
       // per query produced ~10x phantom regressions on unchanged queries —
       // JIT/codegen + FS-cache state depended on suite order): one untimed
-      // warmup run per query, then min of 2 timed runs
+      // warmup run per query, then min of 2 timed runs. A query that THROWS
+      // is recorded as "err", never as a fast success (round-3 finding #3:
+      // the old swallowed-Throwable timing could commit a failure as a
+      // sub-second time; CORRECTNESS gates failures separately, but the
+      // bench artifact must not mislabel them).
       SparkEntry.queries.foreach { case (name, fn) =>
         if (!name.startsWith("crawl")) {
-          def once(): Double = {
+          def once(): Either[Throwable, Double] = {
             val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count() }
-            catch { case _: Throwable => () }
-            (System.nanoTime() - t0) / 1e9
+            try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+            catch { case t: Throwable => Left(t) }
           }
           once() // warmup: JIT, codegen cache, parquet footer/page cache
-          timings += name -> math.min(once(), once())
+          (once(), once()) match {
+            case (Right(a), Right(b)) => timings += name -> math.min(a, b)
+            case (r1, r2) =>
+              val t = r1.left.toOption.orElse(r2.left.toOption).get
+              System.err.println(s"[bench] $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+              errors += name
+          }
         }
       }
     } finally spark.stop()
 
-    val qs = timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = (timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" } ++
+      errors.map(k => "\"" + k + "\":\"err\"")).mkString("{", ",", "}")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","scaling":{"kernel_urls":$n32,"t_local2_sec":$t2%.2f,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n2_to_4n8":$eff28%.3f,"efficiency_n8_to_4n32":$eff832%.3f,"efficiency_n_to_4n":$efficiency%.3f}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","scaling":{"kernel_urls":$n32,"t_local2_sec":$t2%.2f,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n2_to_4n8":$eff28%.3f,"efficiency_n8_to_4n32":$eff832%.3f,"efficiency_n_to_4n":$efficiency%.3f,"phase_8_32":{"kernel_map_eff":$effMap832%.3f,"kernel_dedup_eff":$effDedup832%.3f,"t8_map":${best(1)._3}%.2f,"t8_dedup":${best(1)._4}%.2f,"t32_map":${best(2)._3}%.2f,"t32_dedup":${best(2)._4}%.2f},"machine_ceiling_8_32":{"probe_map_eff":$ceilMap832%.3f,"probe_shuffle_eff":$ceilShuffle832%.3f,"probe_map_t8":$pm8%.2f,"probe_map_t32":$pm32%.2f,"probe_shuffle_t8":$ps8%.2f,"probe_shuffle_t32":$ps32%.2f,"kernel_vs_ceiling_map":${effMap832 / ceilMap832}%.3f,"kernel_vs_ceiling_dedup":${effDedup832 / ceilShuffle832}%.3f}}}""")
   }
 }

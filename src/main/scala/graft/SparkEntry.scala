@@ -129,9 +129,35 @@ object SparkEntry {
     bb.array() // remaining mvhd fields stay zeroed
   }
 
-  /** t4 fixture texts (pinned fingerprint literals in the oracle). */
+  /** t4 fixture texts (the oracle reconstructs them arithmetically and
+    * recomputes the rolling hash from scratch — see t4OracleSql). */
   private val t4Texts: Seq[String] = (0 until 8).map(i =>
     s"doc $i alpha${i * 7} beta${i * 13} gamma${i * 29} delta${i * 31} epsilon zeta eta theta iota kappa lambda")
+
+  /** DuckDB twin of TextAnalysis.fingerprint over the t4 fixture texts:
+    * byte-level Rabin-Karp roll (h' = h*257 + b_in - 257^16*b_out mod 2^64)
+    * via a recursive CTE, splitmix-style finalizer multiply done in 32-bit
+    * halves (hl*C + ((hh*C) mod 2^32)*2^32 mod 2^64 — a direct 64x64
+    * product can exceed signed HUGEINT), min over all windows, reinterpreted
+    * as signed 64-bit. 257^16 mod 2^64 is itself computed by a CTE. */
+  private val t4OracleSql = {
+    val M = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+    s"""WITH RECURSIVE
+      | texts(tid, text) AS (SELECT i, 'doc ' || CAST(i AS VARCHAR) || ' alpha' || CAST(i*7 AS VARCHAR) || ' beta' || CAST(i*13 AS VARCHAR) || ' gamma' || CAST(i*29 AS VARCHAR) || ' delta' || CAST(i*31 AS VARCHAR) || ' epsilon zeta eta theta iota kappa lambda' FROM range(8) t(i)),
+      | bytes AS (SELECT tid, CAST(p.p AS INT) AS p, CAST(ord(substr(text, CAST(p.p AS INT), 1)) AS HUGEINT) AS b FROM texts, range(1, 201) p(p) WHERE p.p <= length(text)),
+      | pw(n, v) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT n + 1, (v * 257) % $M FROM pw WHERE n < 16),
+      | roll(tid, p, h) AS (
+      |   SELECT b.tid, 1, b.b FROM bytes b WHERE b.p = 1
+      |   UNION ALL
+      |   SELECT r.tid, r.p + 1,
+      |     ((r.h * 257 + cur.b - CASE WHEN r.p + 1 >= 17 THEN ((SELECT v FROM pw WHERE n = 16) * old.b) % $M ELSE CAST(0 AS HUGEINT) END) % $M + $M) % $M
+      |   FROM roll r
+      |   JOIN bytes cur ON cur.tid = r.tid AND cur.p = r.p + 1
+      |   LEFT JOIN bytes old ON old.tid = r.tid AND old.p = r.p + 1 - 16),
+      | mixed AS (SELECT tid, ((h % CAST(4294967296 AS HUGEINT)) * CAST(11400714819323198485 AS HUGEINT) + (((h // CAST(4294967296 AS HUGEINT)) * CAST(11400714819323198485 AS HUGEINT)) % CAST(4294967296 AS HUGEINT)) * CAST(4294967296 AS HUGEINT)) % $M AS m FROM roll WHERE p >= 16),
+      | fp AS (SELECT tid, CAST(min(CASE WHEN m >= CAST(9223372036854775808 AS HUGEINT) THEN m - $M ELSE m END) AS BIGINT) AS fingerprint FROM mixed GROUP BY tid)
+      | SELECT d.doc_id, fp.fingerprint FROM documents d JOIN fp ON fp.tid = d.doc_id % 8""".stripMargin.replace("\n", "")
+  }
 
   /** t5 fixture texts — one per Latin stopword profile + und + one per
     * non-Latin script family (round-3 breadth: script-based detection). */
@@ -521,6 +547,20 @@ object SparkEntry {
     "d6_embed_cosine_pairs" -> ((s, d) =>
       Dedup.embeddingDupPairs(synthEmb(s, d), dim = 64, rowsPerBand = 4,
         bands = 24, minCosine = 0.95).select("a_id", "b_id")),
+    // D9: the linear-output near-dup structure (the 100 TB API): one
+    // member→representative edge per vector — O(corpus) rows even when
+    // every vector is a byte-identical duplicate
+    "d9_embed_dup_members" -> ((s, d) =>
+      Dedup.embeddingDupStructure(synthEmb(s, d), dim = 64, rowsPerBand = 4,
+        bands = 24, minCosine = 0.95)._1.select("vec_id", "rep_id")),
+    // D9b: verified BETWEEN-group edges, one row per group pair regardless
+    // of group sizes (with D9 this carries the dense D6 view in linear size)
+    "d9b_embed_rep_pairs" -> ((s, d) => {
+      val repPairs = Dedup.embeddingDupStructure(synthEmb(s, d), dim = 64,
+        rowsPerBand = 4, bands = 24, minCosine = 0.95)._2
+      repPairs.select(least(col("rep_a"), col("rep_b")).as("a_id"),
+        greatest(col("rep_a"), col("rep_b")).as("b_id"))
+    }),
 
     // ---------------- similarity search (circle fixture: distinct,
     // well-separated cosine levels; ties only between identical vectors,
@@ -613,6 +653,26 @@ object SparkEntry {
         "coll3", limit = 20, offset = 5)),
     "a7b_collection_length" -> ((s, d) =>
       Collections.lengths(collectionItemsFrame(s, d))),
+
+    // P15: fetchbot Mux dispatch (handler.go:126-233) — full ResponseMatcher
+    // surface incl. longest-path-prefix wins and registration-order ties;
+    // compiled to one codegen'd when-chain over response rows
+    "p15_mux_dispatch" -> ((s, d) => {
+      import graft.crawl.Mux
+      val rules = Seq(
+        Mux.ResponseRule("deep", method = Some("GET"), pathPrefix = Some("/doc/1")),
+        Mux.ResponseRule("docs", method = Some("GET"), pathPrefix = Some("/doc/")),
+        Mux.ResponseRule("head_html", method = Some("HEAD"),
+          contentType = Some("text/html")),
+        Mux.ResponseRule("heads", method = Some("HEAD")))
+      t(s, d, "documents").select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit("HEAD")).otherwise(lit("GET")).as("method"),
+          urlCol(col("doc_id")).as("url"),
+          lit(200).as("status"),
+          when(col("doc_id") % 2 === 0, lit("text/html; charset=utf-8"))
+            .otherwise(lit("application/pdf")).as("content_type"))
+        .select(col("doc_id"), Mux.dispatch(rules).as("handler"))
+    }),
 
     // ---------------- uncrawlables (queries.go:729-751): enqueue anti-gate
     "p14_uncrawlable_gate" -> ((s, d) => {
@@ -833,6 +893,10 @@ object SparkEntry {
       "SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM embeddings a JOIN embeddings b ON a.vec_id % 97 = b.vec_id % 97 AND a.vec_id < b.vec_id",
     "d6_embed_cosine_pairs" ->
       "SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id AND abs((a.vec_id % 97) - (b.vec_id % 97)) <= 9",
+    "d9_embed_dup_members" ->
+      "SELECT vec_id, min(vec_id) OVER (PARTITION BY vec_id % 97) AS rep_id FROM embeddings",
+    "d9b_embed_rep_pairs" ->
+      "WITH r AS (SELECT DISTINCT min(vec_id) OVER (PARTITION BY vec_id % 97) AS rep, vec_id % 97 AS res FROM embeddings) SELECT least(a.rep, b.rep) AS a_id, greatest(a.rep, b.rep) AS b_id FROM r a JOIN r b ON a.res < b.res AND abs(a.res - b.res) <= 9",
     "ann1_bruteforce_topk" -> annOracleSql,
     "ann2_lsh_topk" -> annOracleSql,
     "t1_lang_dist" -> "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
@@ -842,13 +906,15 @@ object SparkEntry {
       "SELECT doc_id, length(text) AS n_chars_c, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens, CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE round(CAST(length(text) AS DOUBLE) / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1), 4) END AS mean_tok_len FROM documents",
     "t3_token_count" ->
       "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens FROM documents",
-    // pinned fingerprint literals for the 8 fixture texts (see t4Texts)
-    "t4_fingerprint" ->
-      ("SELECT doc_id, CASE doc_id % 8 " +
-        "WHEN 0 THEN -8983939793570292822 WHEN 1 THEN -8710937737434241121 " +
-        "WHEN 2 THEN -9183186900608415286 WHEN 3 THEN -9198202557504345232 " +
-        "WHEN 4 THEN -8710937737434241121 WHEN 5 THEN -9169214825758899158 " +
-        "WHEN 6 THEN -8710937737434241121 ELSE -9008839485748962652 END AS fingerprint FROM documents"),
+    // INDEPENDENT oracle reimplementation of the Rabin-Karp window
+    // fingerprint (window 16, base 257, splitmix finalizer, min over
+    // windows): DuckDB recursive CTE with 64-bit wrap-around emulated via
+    // HUGEINT mod 2^64 (the finalizer multiply is split into 32-bit halves
+    // because two full 64-bit operands can overflow signed HUGEINT). The
+    // fixture texts are reconstructed arithmetically — no literal is copied
+    // from the implementation (closes the round-2/3 "impl-derived literals"
+    // carry-over; the computed values matched the previously pinned ones).
+    "t4_fingerprint" -> t4OracleSql,
     "t5_langid_detect" ->
       "SELECT doc_id, CASE doc_id % 12 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es' WHEN 4 THEN 'it' WHEN 5 THEN 'und' WHEN 6 THEN 'ja' WHEN 7 THEN 'zh' WHEN 8 THEN 'ru' WHEN 9 THEN 'ar' WHEN 10 THEN 'el' ELSE 'ko' END AS lang_detected FROM documents",
     "f1_normalize" ->
@@ -875,6 +941,10 @@ object SparkEntry {
       "SELECT collection_id, count(*) AS n_items FROM (SELECT 'coll' || CAST(doc_id % 10 AS VARCHAR) AS collection_id FROM documents) GROUP BY collection_id",
     "p14_uncrawlable_gate" ->
       s"SELECT doc_id, $urlsSql AS url FROM documents WHERE doc_id % 13 <> 0",
+    "p15_mux_dispatch" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 <> 0 AND CAST(doc_id AS VARCHAR) LIKE '1%' THEN 'deep' " +
+        "WHEN doc_id % 3 <> 0 THEN 'docs' " +
+        "WHEN doc_id % 2 = 0 THEN 'head_html' ELSE 'heads' END AS handler FROM documents"),
     "s3_list_sources" ->
       "SELECT host, created FROM (SELECT DISTINCT 'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host, TIMESTAMP '2017-01-01 00:00:00' + INTERVAL (doc_id % 50) SECOND AS created, (doc_id % 50) % 2 = 0 AS crawl, (doc_id % 50) % 7 = 3 AS deleted FROM documents) WHERE crawl AND NOT deleted ORDER BY created DESC, host LIMIT 10 OFFSET 5",
     "s4_list_datarepos" ->

@@ -3,12 +3,25 @@ package graft
 import graft.crawl.Fixtures
 import graft.functions.{HtmlTok, LinkExtract, Sniff, Hashing, GoUrl}
 
-/** Pure-JVM probe: does the per-page kernel work (generate + sniff + title +
-  * extract + resolve + hash) scale with threads without Spark in the way? */
+/** Pure-JVM probe: how much of the wave kernel's thread-scaling shortfall
+  * is the MACHINE (one memory bus, shared caches, GC) rather than Spark?
+  *
+  * Two phases mirror the two halves of `Bench.waveKernel`:
+  *   - map:     generate + sniff + title + extract + resolve + hash per page
+  *     (the kernel's fetch_map_pass);
+  *   - shuffle: generate link dst urls, hash-partition them across threads
+  *     into per-producer buckets (shuffle write analog), then per-bucket
+  *     dedup into hash sets and probe a seen-set (shuffle read + distinct +
+  *     anti-join analog — the kernel's extract_dedup_pass).
+  * Each phase reports its own 8→32-thread efficiency: the per-phase numbers
+  * are the no-Spark single-box ceilings the Spark kernel phases are judged
+  * against in BASELINE.md.
+  */
 object ThreadScaleProbe {
   def main(args: Array[String]): Unit = {
     val cfg = Fixtures.ScaleConfig(hosts = 2048, pagesPerHost = 512, outDegree = 16)
     val total = 400000
+    val linkPages = 200000 // pages in the shuffle phase (x outDegree dsts)
 
     def work(lo: Int, hi: Int): Long = {
       var acc = 0L
@@ -31,7 +44,7 @@ object ThreadScaleProbe {
       acc
     }
 
-    def run(threads: Int): Double = {
+    def runMap(threads: Int): Double = {
       val per = total / threads
       val t0 = System.nanoTime()
       val ts = (0 until threads).map { t =>
@@ -42,10 +55,61 @@ object ThreadScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    run(4) // warmup JIT
-    val t8a = run(8); val t32a = run(32)
-    val t32b = run(32); val t8b = run(8)
-    val t8 = math.min(t8a, t8b); val t32 = math.min(t32a, t32b)
-    println(f"THREADS t8=$t8%.2f t32=$t32%.2f speedup=${t8 / t32}%.2f eff=${t8 / t32 / 4}%.2f")
+    /** Shuffle analog: producers hash-partition generated dst-url strings
+      * into per-(producer,bucket) buffers; consumers dedup bucket b across
+      * all producers and count urls missing from the (sharded) seen-set. */
+    def runShuffle(threads: Int): Double = {
+      val per = linkPages / threads
+      val t0 = System.nanoTime()
+      val buffers = Array.fill(threads, threads)(
+        new scala.collection.mutable.ArrayBuffer[String](per * cfg.outDegree / threads + 16))
+      val producers = (0 until threads).map { t =>
+        val th = new Thread(() => {
+          var i = t * per
+          while (i < (t + 1) * per) {
+            var j = 0
+            while (j < cfg.outDegree) {
+              val dh = (Fixtures.mix(cfg.seed, i.toLong * 31 + j) & 0x7fffffffL) % cfg.hosts
+              val dp = (Fixtures.mix(cfg.seed, i.toLong * 37 + j) & 0x7fffffffL) % cfg.pagesPerHost
+              val dst = Fixtures.pageUrl(cfg, dh.toInt, dp.toInt)
+              buffers(t)(((dst.hashCode & 0x7fffffff) % threads)) += dst
+              j += 1
+            }
+            i += 1
+          }
+        })
+        th.start(); th
+      }
+      producers.foreach(_.join())
+      val missing = new java.util.concurrent.atomic.AtomicLong()
+      val consumers = (0 until threads).map { b =>
+        val th = new Thread(() => {
+          val seen = new java.util.HashSet[String]()
+          var t = 0
+          while (t < threads) {
+            val buf = buffers(t)(b)
+            var k = 0
+            while (k < buf.length) { seen.add(buf(k)); k += 1 }
+            t += 1
+          }
+          missing.addAndGet(seen.size.toLong)
+        })
+        th.start(); th
+      }
+      consumers.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    runMap(4); runShuffle(4) // warmup JIT
+    val m8a = runMap(8); val m32a = runMap(32)
+    val s8a = runShuffle(8); val s32a = runShuffle(32)
+    val m32b = runMap(32); val m8b = runMap(8)
+    val s32b = runShuffle(32); val s8b = runShuffle(8)
+    val m8 = math.min(m8a, m8b); val m32 = math.min(m32a, m32b)
+    val s8 = math.min(s8a, s8b); val s32 = math.min(s32a, s32b)
+    // machine-parseable line for Bench (same-session ceiling evidence)
+    println(f"PROBE $m8%.3f $m32%.3f $s8%.3f $s32%.3f")
+    println(f"THREADS map t8=$m8%.2f t32=$m32%.2f eff=${m8 / m32 / 4}%.2f | " +
+      f"shuffle t8=$s8%.2f t32=$s32%.2f eff=${s8 / s32 / 4}%.2f")
   }
 }

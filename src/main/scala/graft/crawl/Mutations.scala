@@ -219,6 +219,63 @@ final class Mutations(spark: SparkSession, store: TableStore) {
     id
   }
 
+  // ------------------------------------------------------- uncrawlables
+
+  /** The reference's full uncrawlables row (qUncrawlableCreateTable,
+    * queries.go:729-751). The Scheduler's `markUncrawlable` writes a thin
+    * (url, created) row into the same table; mergeSchema unions the two
+    * shapes and every gate reads only `url`. */
+  private def emptyUncrawlables: DataFrame =
+    Seq.empty[(String, String, Timestamp, Timestamp, String, String, String)]
+      .toDF("id", "url", "created", "updated", "name", "email", "comments")
+
+  def uncrawlables: DataFrame = {
+    val df = store.readAppendOnly("uncrawlables").getOrElse(emptyUncrawlables)
+    // thin Scheduler rows read with null id/updated/name/... — normalize
+    emptyUncrawlables.columns.foldLeft(df) { (acc, c) =>
+      if (acc.columns.contains(c)) acc
+      else acc.withColumn(c, lit(null).cast(if (c.endsWith("ed")) "timestamp" else "string"))
+    }.select("id", "url", "created", "updated", "name", "email", "comments")
+  }
+
+  /** qUncrawlableInsert (queries.go:766-773): url is the PRIMARY KEY —
+    * re-inserting an existing url updates it in place (upsert; the
+    * reference's Save() routes to update when the row exists). */
+  def createUncrawlable(url: String, name: String, email: String,
+      comments: String, vtSec: Long): String = {
+    val id = graft.functions.Hashing.urlId("uncrawlable:" + url)
+    val row = Seq((id, url, ts(vtSec), ts(vtSec), name, email, comments))
+      .toDF("id", "url", "created", "updated", "name", "email", "comments")
+    commit("uncrawlables", uncrawlables.filter($"url" =!= url).unionByName(row))
+    id
+  }
+
+  /** qUncrawlableUpdate (queries.go:775-784): full-row update by id. */
+  def updateUncrawlable(id: String, name: Option[String] = None,
+      email: Option[String] = None, comments: Option[String] = None,
+      vtSec: Long): Unit = {
+    val hit = $"id" === id
+    var upd = uncrawlables.withColumn("updated",
+      when(hit, lit(ts(vtSec))).otherwise($"updated"))
+    name.foreach(v => upd = upd.withColumn("name", when(hit, lit(v)).otherwise($"name")))
+    email.foreach(v => upd = upd.withColumn("email", when(hit, lit(v)).otherwise($"email")))
+    comments.foreach(v => upd = upd.withColumn("comments",
+      when(hit, lit(v)).otherwise($"comments")))
+    commit("uncrawlables", upd)
+  }
+
+  /** qUncrawlableDelete (queries.go:806-808): HARD delete BY URL — this is
+    * the un-block path: once the row is gone, the Scheduler's uncrawlables
+    * gates stop filtering the url and it becomes enqueueable again (its
+    * old frontier eviction tombstone is outranked by any later-wave
+    * enqueue, so no store surgery is needed). */
+  def deleteUncrawlable(url: String): Unit =
+    commit("uncrawlables", uncrawlables.filter($"url" =!= url))
+
+  /** qUncrawlablesList (queries.go:755-764). */
+  def listUncrawlables(limit: Int, offset: Int): DataFrame =
+    uncrawlables.orderBy(desc("created"), asc("url")).offset(offset).limit(limit)
+
   // ---------------------------------------------------------- metadata
 
   private def emptyMeta: DataFrame =
@@ -252,8 +309,12 @@ final class Mutations(spark: SparkSession, store: TableStore) {
     if (prev != head)
       return Left(s"stale prev: chain head is '$head', got '$prev'")
     val stamp = ts(vtSec)
+    // hash a timezone-independent stamp (epoch millis): Timestamp.toString
+    // renders in the JVM default zone, which would make the chain hash —
+    // and thus every derived id — differ between hosts with different TZ
+    // settings, breaking cross-environment reproducibility
     val hash = graft.functions.Hashing.multihash(
-      s"$stamp|$keyId|$subject|$prev|$metaJson"
+      s"${stamp.getTime}|$keyId|$subject|$prev|$metaJson"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val row = Seq((hash, stamp, keyId, subject, prev, metaJson, false))
       .toDF("hash", "time_stamp", "key_id", "subject", "prev", "meta", "deleted")

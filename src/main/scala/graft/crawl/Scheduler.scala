@@ -93,21 +93,59 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     * Same layout as the urls table — waves APPEND O(delta) transition rows
     * (seeds, takes, blocks, enqueues) and never rewrite the backlog; a
     * pre-MOR snapshot (single rewrite version, no f_wave column) reads as
-    * wave-0 transitions, so resume from an old store keeps working. */
-  private def frontierDF: DataFrame =
-    store.readAppendOnly("frontier") match {
+    * wave-0 transitions, so resume from an old store keeps working.
+    *
+    * Read discipline (the round-3 read-amplification fix): a wave evaluates
+    * this view EXACTLY ONCE — `runWave` localCheckpoints it into
+    * `frontier0` and every in-wave consumer (queue gauge, budget slice,
+    * active-url set, seed anti-join) reads the checkpointed frame, so the
+    * transition log is scanned and latest-wins-shuffled once per wave, not
+    * once per consumer. Point lookups (`seedUrl`, `markUncrawlable`) never
+    * touch the full view: latest-wins-per-url commutes with a url filter,
+    * so `frontierRowsFor` filters the log down to one `fbucket` (files are
+    * clustered on it at write time — parquet stats skip the rest) BEFORE
+    * the window. */
+  private def frontierDF: DataFrame = frontierMorView(None)
+
+  /** The frontier log with schema backfill: pre-MOR files get wave-0
+    * stamps, pre-bucketing files get their fbucket recomputed from the url
+    * (same read-side migration policy as the urls `ubucket`). */
+  private def frontierLog: Option[DataFrame] =
+    store.readAppendOnly("frontier").map { df0raw =>
+      val stamped =
+        if (df0raw.columns.contains("f_wave"))
+          df0raw.withColumn("f_wave", coalesce($"f_wave", lit(0L)))
+            .withColumn("f_prio", coalesce($"f_prio", lit(0)))
+        else df0raw.withColumn("f_wave", lit(0L)).withColumn("f_prio", lit(0))
+      if (stamped.columns.contains("fbucket"))
+        stamped.withColumn("fbucket", coalesce($"fbucket", bucketCol($"url")))
+      else stamped.withColumn("fbucket", bucketCol($"url"))
+    }
+
+  private def frontierMorView(onlyUrl: Option[String]): DataFrame =
+    frontierLog match {
       case None => emptyDF[FrontierRow]
-      case Some(df0raw) =>
-        val df0 =
-          if (df0raw.columns.contains("f_wave"))
-            df0raw.withColumn("f_wave", coalesce($"f_wave", lit(0L)))
-              .withColumn("f_prio", coalesce($"f_prio", lit(0)))
-          else df0raw.withColumn("f_wave", lit(0L)).withColumn("f_prio", lit(0))
+      case Some(log) =>
+        val df0 = onlyUrl match {
+          case Some(u) =>
+            log.filter($"fbucket" === urlBucketOf(u) && $"url" === u)
+          case None => log
+        }
         val w = Window.partitionBy("url").orderBy(desc("f_wave"), desc("f_prio"))
         df0.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1)
-          .drop("rn_", "f_wave", "f_prio")
+          .drop("rn_", "f_wave", "f_prio", "fbucket")
           .filter($"state" =!= StateTaken)
     }
+
+  /** Live frontier rows for one url — a bucket-pruned point read of the
+    * transition log (the filter commutes with latest-wins-per-url). */
+  private def frontierRowsFor(url: String): DataFrame =
+    frontierMorView(Some(url))
+
+  /** Spark-side xxhash64 bucket of one url, evaluated driver-side (one
+    * 1-row local job; used only by the point-lookup admin APIs). */
+  private def urlBucketOf(url: String): Int =
+    spark.range(1).select(bucketCol(lit(url))).head().getInt(0)
 
   /** Frontier transition priorities within one wave: a seed can be taken in
     * its own wave; a taken HEAD can be blocked; an eviction wins over all. */
@@ -120,6 +158,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   private def withFrontierMor(df: DataFrame, w: Long, prio: Int): DataFrame =
     df.select("url", "method", "host", "lane", "wave", "seq", "state")
       .withColumn("f_wave", lit(w)).withColumn("f_prio", lit(prio))
+      .withColumn("fbucket", bucketCol(col("url")))
 
   /** host_state MOR view: latest transition per (host, lane) wins. Waves
     * append only the hosts they touched (bounded by the politeness budget),
@@ -218,7 +257,12 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     val nowTs = timestamp_seconds(lit(nowSec))
     val staleBefore = nowSec - cfg.staleDurationSec
 
-    val frontier0 = frontierDF
+    // ONE frontier-log scan + latest-wins shuffle per wave: the MOR view is
+    // materialized here and every consumer below (queue gauge, budget slice,
+    // seed anti-join, active-url set) reads the checkpointed frame. Without
+    // this each consumer's action re-ran the full-log window — ×3 full
+    // shuffles per wave at a 10^10-row backlog (round-3 finding #1).
+    val frontier0 = frontierDF.localCheckpoint()
     val uncrawl0 = uncrawlablesView.select("url")
     val hostState0 = hostStateDF
 
@@ -384,14 +428,19 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // play), not over the backlog; the same pass yields the total queued
     // depth (for the post-wave gauge) so the backlog is never re-scanned
     // just to count it.
-    val (minDelay: Double, queuedTotal: Long) = {
-      val r = hostPlan.agg(min($"eff_delay"), sum($"qdepth")).head()
+    // rank bound from the smallest POSITIVE delay: zero-delay hosts are
+    // routed around the prune inside politeBudget (they take their whole
+    // backlog within the window), so one zero-delay robots line no longer
+    // disables WindowGroupLimit for every other host in the wave
+    // (round-3 finding: rankBound = Long.MaxValue globally)
+    val (minPosDelay: Double, queuedTotal: Long) = {
+      val r = hostPlan.agg(min(when($"eff_delay" > 0, $"eff_delay")),
+        sum($"qdepth")).head()
       (if (r.isNullAt(0)) cfg.crawlDelaySec else r.getDouble(0),
         if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     val rankBound: Long =
-      if (minDelay > 0) math.ceil(cfg.waveWindowSec / minDelay).toLong + 1
-      else Long.MaxValue // a 0-delay host takes its whole backlog; no prune
+      math.ceil(cfg.waveWindowSec / math.max(minPosDelay, 1e-9)).toLong + 1
     val budgeted = politeBudget(queued, hostPlan, waveEnd, rankBound)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -609,10 +658,18 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // ---- 10. host state
     val takenPerHost = budgeted.groupBy($"host", $"lane")
       .agg(max($"vt").as("max_vt"))
-    // MOR delta: only the hosts this wave touched — untouched host rows
-    // stay in older versions and win nothing (their latest row is theirs)
+    // MOR delta: only the hosts whose state actually CHANGED this wave —
+    // a robots fetch or at least one take. A backlog host that merely sat
+    // queued keeps its old row (or none), so the host_state log grows by
+    // O(active hosts) per wave, bounded by the politeness budget — not by
+    // O(hosts-with-backlog) (round-3 advice: hostPlan contains every
+    // backlog host, and appending them all made the delta O(backlog
+    // hosts) regardless of activity). Untouched hosts' next_fetch_vt is
+    // in the past either way; the read side's greatest(start_vt,
+    // waveStart) already treats a stale value and a missing row alike.
     val hostStateTouched = hostPlan
       .join(takenPerHost, Seq("host", "lane"), "left")
+      .filter($"robots_now" || $"max_vt".isNotNull)
       .withColumn("last_vt",
         when($"robots_now" && $"max_vt".isNull, $"start_vt") // only robots ran
           .otherwise(coalesce($"max_vt", $"start_vt" - $"eff_delay")))
@@ -651,7 +708,11 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     stage("links", linkRows, append = true)
     stage("snapshots", snapshotRows, append = true)
     stage("fetch_log", fetchLogRows, append = true)
-    stage("frontier", frontierAppends, append = true)
+    // frontier deltas cluster by fbucket like the urls table: point reads
+    // (seedUrl/markUncrawlable) prune to one bucket's files via parquet
+    // stats, and compaction can rewrite buckets independently
+    staged += ("frontier" -> store.stageAppend("frontier",
+      frontierAppends.repartition(col("fbucket"))))
     stage("host_state", hostStateTouched, append = true)
     if (doSeed) stage("whitelist", whitelist, append = false)
 
@@ -708,7 +769,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
 
     store.commitWave(w)
 
-    Seq(urlsSeedFull, urlsWave, seedRowsCk, robotsFetched, hostPlan, budgeted,
+    Seq(frontier0, urlsSeedFull, urlsWave, seedRowsCk, robotsFetched, hostPlan, budgeted,
       fetched, getOk, headHtml, getUpdates, headUpdates, linksRaw, dstFirst,
       dstCreates, newEnqueues, whitelist)
       .filter(_ != null)
@@ -741,31 +802,47 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   /** The committed frontier (GET /que view). */
   def frontierView: DataFrame = frontierDF
 
-  /** POST /que equivalent (handlers.go:59-108): audit the request, create
-    * the Url row if unseen (SeedUrlHandler's Read-or-Create), and enqueue a
-    * GET on lane C — the seed crawler whose extracted links feed lane A
-    * (seed_crawler.go:58). */
-  def seedUrl(url: String): Unit = {
+  /** POST /que equivalent (handlers.go:42-108): validate the url against
+    * the registered source prefixes — `ValidArchivingUrl`
+    * (core/urls.go:111-121, the J7 containment shape: candidate ILIKE
+    * '%'||source.url||'%') — then audit the request, create the Url row if
+    * unseen (SeedUrlHandler's Read-or-Create), and enqueue a GET on lane C,
+    * the seed crawler whose extracted links feed lane A
+    * (seed_crawler.go:58). Returns false — no audit row, no url row, no
+    * enqueue, matching the reference's 400-before-insert order
+    * (handlers.go:69-75) — when the url is inside no registered prefix.
+    * Soft-deleted sources do not validate (engine policy consistent with
+    * P9; the reference's legacy `suburls` table predates its soft-delete
+    * column). All reads are point lookups: the frontier check prunes to
+    * one fbucket, the urls check to one ubucket. */
+  def seedUrl(url: String): Boolean = {
     store.resetPending()
     val w = store.currentWave + 1
+    val valid = !sourcesDF
+      .filter(!coalesce($"deleted", lit(false)) && length($"url") > 0 &&
+        lower(lit(url)).contains(lower($"url")))
+      .isEmpty
+    if (!valid) return false
     val ts = timestamp_seconds(lit(baseEpochSec + (w * cfg.waveWindowSec).toLong))
     val row = Seq((url, "GET", GoUrl.hostOf(url), "C", w,
         w * SeqStride + (1L << 20), StateQueued))
       .toDF("url", "method", "host", "lane", "wave", "seq", "state")
     // enqued-map check (Read-or-Create): only append the queued transition
     // if the url holds no frontier slot — an O(delta) append, not a rewrite
-    val alreadyActive = frontierDF.filter($"url" === url).limit(1).count() > 0
+    val alreadyActive = frontierRowsFor(url).limit(1).count() > 0
     if (!alreadyActive)
       store.stageAppend("frontier", withFrontierMor(row, w, PrioSeed))
     // Read-or-Create the url row (handlers.go:83-101)
     val creates = row.select($"url")
-      .join(urlsView.select("url"), Seq("url"), "left_anti")
+      .join(urlsViewBuckets(Some(Seq(urlBucketOf(url)))).select("url"),
+        Seq("url"), "left_anti")
       .select(newUrlRowCols($"url", ts): _*)
     store.stageAppend("urls", withMor(creates, w, 1))
     // audit log (archive_requests insert, handlers.go:75)
     store.stageAppend("archive_requests",
       Seq((url, w)).toDF("url", "wave").select($"url", ts.as("created"), $"wave"))
     store.commitWave(store.currentWave)
+    true
   }
 
   /** POST /uncrawlables twin (UncrawlableHandler): record a manual
@@ -777,11 +854,16 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     store.stageAppend("uncrawlables",
       Seq(Tuple1(url)).toDF("url").select($"url", ts.as("created")))
     // evict a queued command via a MOR tombstone (blocked rows keep their
-    // state; the uncrawlables gate already blocks re-enqueue either way)
-    val evicted = frontierDF
-      .filter($"url" === url && $"state" === StateQueued)
+    // state; the uncrawlables gate already blocks re-enqueue either way).
+    // The eviction is STAMPED AT WAVE w+1: seedUrl and runWave stamp their
+    // queued transitions at currentWave+1 and the MOR view orders f_wave
+    // before f_prio, so a w-stamped eviction would be outranked by a seed
+    // issued in the same API cycle (round-3 advice: seedUrl-then-
+    // markUncrawlable left the url queued and fetchable). PrioEvicted=5
+    // outranks every transition runWave(w+1) itself can write.
+    val evicted = frontierRowsFor(url).filter($"state" === StateQueued)
       .withColumn("state", lit(StateTaken))
-    store.stageAppend("frontier", withFrontierMor(evicted, w, PrioEvicted))
+    store.stageAppend("frontier", withFrontierMor(evicted, w + 1, PrioEvicted))
     store.commitWave(w)
   }
 
@@ -794,7 +876,8 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       withMor(urlsView, store.currentWave, 2).repartition(col("ubucket")))
     store.compact("links", linksView)
     store.compact("snapshots", snapshotsView)
-    store.compact("frontier", withFrontierMor(frontierDF, store.currentWave, 0))
+    store.compact("frontier",
+      withFrontierMor(frontierDF, store.currentWave, 0).repartition(col("fbucket")))
     store.compact("host_state",
       hostStateDF.withColumn("h_wave", lit(store.currentWave)))
     store.commitWave(store.currentWave)
@@ -807,15 +890,28 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     * body), pre-filter on a constant rank bound so WindowGroupLimit keeps
     * only each (host,lane) queue head below the exchange, stamp virtual
     * fetch times at eff_delay spacing, keep rows inside the wave window,
-    * then join the robots text back per (host,lane) for the gate. */
+    * then join the robots text back per (host,lane) for the gate.
+    *
+    * `rankBound` must cover every POSITIVE-delay host (it is derived from
+    * the minimum positive delay, so `ceil(window/minPosDelay)+1 >=
+    * ceil(window/delay_h)+1` for each). Zero-delay hosts — a robots
+    * `Crawl-delay: 0` line — legitimately take their whole backlog inside
+    * the window, so they bypass the rank prune on a separate (normally
+    * empty) branch; the bulk of the wave keeps its WindowGroupLimit
+    * regardless of one pathological host (round-3 fix: the old constant
+    * bound collapsed to Long.MaxValue globally when any host had delay 0). */
   private[graft] def politeBudget(queued: DataFrame, hostPlan: DataFrame,
       waveEnd: Double, rankBound: Long): DataFrame = {
     val wSeq = Window.partitionBy($"host", $"lane").orderBy($"seq")
     val hostPlanNarrow = hostPlan
       .select($"host", $"lane", $"robots_now", $"eff_delay", $"start_vt")
-    queued.join(hostPlanNarrow, Seq("host", "lane"))
+    val joined = queued.join(hostPlanNarrow, Seq("host", "lane"))
+    val posRanked = joined.filter($"eff_delay" > 0)
       .withColumn("rn", row_number().over(wSeq))
       .filter($"rn" <= rankBound)
+    val zeroRanked = joined.filter($"eff_delay" <= 0)
+      .withColumn("rn", row_number().over(wSeq))
+    posRanked.unionByName(zeroRanked)
       .withColumn("vt",
         when($"robots_now", $"start_vt" + $"rn" * $"eff_delay")
           .otherwise($"start_vt" + ($"rn" - 1) * $"eff_delay"))

@@ -82,7 +82,14 @@ final class TableStore(spark: SparkSession, rootDir: String) {
 
   private def tryRead(paths: Seq[String]): Option[DataFrame] =
     try {
-      val df = spark.read.parquet(paths: _*)
+      // mergeSchema: a MOR table that mixes pre-migration versions (e.g. a
+      // frontier snapshot without f_wave/f_prio) with post-migration deltas
+      // must read the UNION of the file schemas — without it Spark infers
+      // from one footer (often the oldest version) and silently drops the
+      // newer stamp columns, turning latest-wins ties nondeterministic.
+      // Single-version reads pay nothing extra; multi-version reads pay one
+      // footer per version at plan time, not per row.
+      val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
       Some(df)
     } catch {
       // a committed version can be schema-less when the delta was empty

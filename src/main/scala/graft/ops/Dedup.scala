@@ -229,9 +229,21 @@ object Dedup {
     * All joins before the final expansion move narrow (key, id, band,
     * bucket) rows; vectors rejoin by representative id only for the
     * verify. */
-  def embeddingDupPairs(emb: DataFrame, dim: Int, rowsPerBand: Int = 4,
+  /** The near-dup structure in O(members + rep-pairs) OUTPUT rows — the
+    * 100 TB API. Returns (members, repPairs):
+    *   - members:  (vkey, rep_id, vec_id) — one row per input vector,
+    *     linking it to its exact-duplicate group (content-hash key) and the
+    *     group's representative (min vec_id). Within-group relations are
+    *     implied (every member is bit-identical to the rep, cosine 1).
+    *   - repPairs: (ka, kb, rep_a, rep_b, cosine) — verified near-dup edges
+    *     BETWEEN groups, one row per group pair regardless of group sizes.
+    * Together these carry exactly the information of the dense pair
+    * expansion in linear size: a corpus with millions of byte-identical
+    * embeddings yields millions of member rows, not ~10^12 pairs
+    * (round-3 advice: the dense expansion is an output-size cliff). */
+  def embeddingDupStructure(emb: DataFrame, dim: Int, rowsPerBand: Int = 4,
       bands: Int = 24, minCosine: Double = 0.95, seed: Long = 7L,
-      maxBucket: Int = 4096): DataFrame = {
+      maxBucket: Int = 4096): (DataFrame, DataFrame) = {
     // fixed-width digest as the duplicate-group key (never join raw arrays)
     val keyed = emb.select(col("vec_id"),
       sha2(to_json(col("embedding")).cast("binary"), 256).as("vkey"))
@@ -252,22 +264,41 @@ object Dedup {
       .select(col("a.vkey").as("ka"), col("b.vkey").as("kb"))
       .dropDuplicates("ka", "kb")
     // exact cosine verify on representative vectors (two id-keyed joins)
-    val v = repVecs.select(col("vkey"), col("embedding"))
-    val simKeys = keyPairs
-      .join(v.select(col("vkey").as("ka"), col("embedding").as("ea")), Seq("ka"))
-      .join(v.select(col("vkey").as("kb"), col("embedding").as("eb")), Seq("kb"))
+    val v = repVecs.select(col("vkey"), col("rep_id"), col("embedding"))
+    val repPairs = keyPairs
+      .join(v.select(col("vkey").as("ka"), col("rep_id").as("rep_a"),
+        col("embedding").as("ea")), Seq("ka"))
+      .join(v.select(col("vkey").as("kb"), col("rep_id").as("rep_b"),
+        col("embedding").as("eb")), Seq("kb"))
       .withColumn("cosine", Similarity.cosineCol(col("ea"), col("eb")))
       .filter(col("cosine") >= minCosine)
-      .select("ka", "kb", "cosine")
+      .select("ka", "kb", "rep_a", "rep_b", "cosine")
+    val members = keyed.join(reps, Seq("vkey"))
+      .select("vkey", "rep_id", "vec_id")
+    (members, repPairs)
+  }
 
-    // expansion: within-group exact-duplicate pairs + cross-group member
-    // pairs (each vec_id belongs to exactly one key, so no dedup needed)
-    val m = keyed.select(col("vkey"), col("vec_id"))
+  /** Dense member-pair view of [[embeddingDupStructure]]: every within-group
+    * exact-duplicate pair (cosine 1) plus every cross-group member pair
+    * inheriting its representatives' verified cosine.
+    *
+    * OUTPUT-SIZE WARNING: the pair contract is inherently quadratic in
+    * duplicate-group size — a group of m identical vectors owns m(m-1)/2
+    * pairs, so a corpus with millions of byte-identical embeddings
+    * materializes ~10^12 rows no matter how it is computed. This view is
+    * for small-scale / oracle use; pipelines at 100 TB should consume
+    * `embeddingDupStructure`'s linear (members, repPairs) form directly. */
+  def embeddingDupPairs(emb: DataFrame, dim: Int, rowsPerBand: Int = 4,
+      bands: Int = 24, minCosine: Double = 0.95, seed: Long = 7L,
+      maxBucket: Int = 4096): DataFrame = {
+    val (members, repPairs) =
+      embeddingDupStructure(emb, dim, rowsPerBand, bands, minCosine, seed, maxBucket)
+    val m = members.select(col("vkey"), col("vec_id"))
     val dupPairs = m.alias("a").join(m.alias("b"),
         col("a.vkey") === col("b.vkey") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         lit(1.0d).as("cosine"))
-    val crossPairs = simKeys
+    val crossPairs = repPairs
       .join(m.select(col("vkey").as("ka"), col("vec_id").as("ia")), Seq("ka"))
       .join(m.select(col("vkey").as("kb"), col("vec_id").as("ib")), Seq("kb"))
       .select(least(col("ia"), col("ib")).as("a_id"),

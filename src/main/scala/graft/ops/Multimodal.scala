@@ -27,8 +27,10 @@ object Multimodal {
   /** Decoder: REAL header decode for image formats the JDK ships codecs for
     * (png/jpeg/gif/bmp via javax.imageio — width/height read from the image
     * header only, no full raster decode, so cost per row is O(header), not
-    * O(pixels)); audio/video metadata remains a declared deterministic STUB
-    * (this container ships no AV codecs — swap `avStub` for a real probe). */
+    * O(pixels)); audio/video durations come from REAL pure-JVM container
+    * header parses (WAV/RIFF byte-rate × data-size, MP4 moov/mvhd v0/v1) —
+    * header-only, no codecs needed. Only `featureStub` (a declared
+    * byte-histogram stand-in for a learned embedding) remains a stub. */
   def decode(bytes: Array[Byte]): MediaMeta = {
     val sniffed = graft.functions.Sniff.detectContentType(bytes)
     val fmt = sniffed match {

@@ -77,6 +77,59 @@ class ApiCrawlSpec extends AnyFunSuite {
     assert(laneAIndex >= 1)
   }
 
+  test("MOR union reads merge mixed file schemas (resume from pre-migration files)") {
+    val store = new TableStore(spark, SparkTestBase.tempDir("mergeschema"))
+    // legacy version without the MOR stamp column, newer delta with it —
+    // without mergeSchema Spark infers from ONE footer and can silently
+    // drop f_wave, making latest-wins ties nondeterministic
+    store.stageAppend("t", Seq(("u1", 1L)).toDF("url", "seq"))
+    store.commitWave(0)
+    store.stageAppend("t", Seq(("u2", 2L, 5L)).toDF("url", "seq", "f_wave"))
+    store.commitWave(1)
+    val df = store.readAppendOnly("t").get
+    assert(df.columns.contains("f_wave"), "stamp column dropped on mixed-schema read")
+    val byUrl = df.collect().map(r => r.getAs[String]("url") -> r).toMap
+    assert(byUrl("u1").isNullAt(byUrl("u1").fieldIndex("f_wave")))
+    assert(byUrl("u2").getAs[Long]("f_wave") == 5L)
+  }
+
+  test("seedUrl enforces ValidArchivingUrl: out-of-prefix urls are rejected pre-audit") {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("api-seedgate"))
+    val s = new Scheduler(spark, store, CrawlConfig())
+    s.bootstrap(
+      Fixtures.pagesDF(spark, Fixtures.staticSitePages),
+      Fixtures.sourcesDF(spark, Fixtures.staticSiteSources))
+    // outside every registered source prefix -> rejected like the
+    // reference's 400 (handlers.go:69-74): no audit, no url row, no slot
+    assert(!s.seedUrl("http://evil.example.com/x"))
+    assert(s.frontierView.filter($"url" === "http://evil.example.com/x").count() == 0)
+    assert(store.readLatest("archive_requests").isEmpty,
+      "rejected seed must not be audited (the reference 400s before its insert)")
+    // inside the registered prefix -> accepted, audited, queued on lane C
+    assert(s.seedUrl(s"$MY/gallery.html"))
+    assert(store.readLatest("archive_requests").get.count() == 1)
+    val slot = s.frontierView.filter($"url" === s"$MY/gallery.html").collect()
+    assert(slot.length == 1 && slot.head.getAs[String]("lane") == "C")
+  }
+
+  test("markUncrawlable right after seedUrl evicts the queued seed (eviction outranks)") {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("api-seed-evict"))
+    val s = new Scheduler(spark, store, CrawlConfig())
+    s.bootstrap(
+      Fixtures.pagesDF(spark, Fixtures.staticSitePages),
+      Fixtures.sourcesDF(spark, Fixtures.staticSiteSources))
+    val u = s"$MY/gallery.html"
+    assert(s.seedUrl(u))
+    s.markUncrawlable(u) // must outrank the same-cycle seed transition
+    assert(s.frontierView.filter($"url" === u).count() == 0,
+      "eviction stamped below the seed: url still holds a frontier slot")
+    s.run(maxWaves = 40)
+    assert(s.fetchLogView.filter($"url" === u && $"seq" >= 0).count() == 0,
+      "seeded-then-blocked url was still fetched")
+  }
+
   test("compaction leaves all views unchanged (T6/Iceberg rewrite equivalence)") {
     val compacted = crawl(CrawlConfig(compactEvery = 2))
     def canon(s: Scheduler) = (

@@ -107,6 +107,44 @@ class MutationsSpec extends AnyFunSuite {
     assert(cc.length == 1 && cc.head.getAs[String]("github_repo") == "gh/x")
   }
 
+  test("uncrawlables: insert/update/hard-delete round-trip (queries.go:729-808)") {
+    val m = freshMut("mut-unc")
+    val id = m.createUncrawlable("http://x/bad", "Ana", "a@example.org",
+      "broken portal", vtSec = 1)
+    assert(m.listUncrawlables(10, 0).select("url").as[String].collect().toSeq ==
+      Seq("http://x/bad"))
+    // url is the PRIMARY KEY: re-insert upserts, never duplicates
+    assert(m.createUncrawlable("http://x/bad", "Bo", "b@example.org", "still broken",
+      vtSec = 2) == id)
+    assert(m.uncrawlables.count() == 1)
+    m.updateUncrawlable(id, comments = Some("escalated"), vtSec = 3)
+    val row = m.uncrawlables.filter($"id" === id).collect().head
+    assert(row.getAs[String]("comments") == "escalated")
+    assert(row.getAs[String]("name") == "Bo")
+    m.deleteUncrawlable("http://x/bad")
+    assert(m.uncrawlables.count() == 0, "qUncrawlableDelete is a hard delete by url")
+  }
+
+  test("deleting an uncrawlable un-blocks the url for the crawler") {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("mut-unblock"))
+    val m = new Mutations(spark, store)
+    val sched = new Scheduler(spark, store, CrawlConfig())
+    sched.bootstrap(Fixtures.pagesDF(spark, Fixtures.staticSitePages),
+      Fixtures.sourcesDF(spark, Fixtures.staticSiteSources))
+    val victim = s"${Fixtures.FixtureRoot}/gallery.html"
+    sched.markUncrawlable(victim)
+    sched.run(maxWaves = 40)
+    assert(sched.fetchLogView.filter($"url" === victim && $"seq" >= 0).count() == 0,
+      "blocked url was fetched")
+    // hard delete un-blocks: the next seed wave picks it up as a whitelisted
+    // unfetched url and the crawler fetches it — no store surgery needed
+    m.deleteUncrawlable(victim)
+    sched.run(maxWaves = 60)
+    assert(sched.fetchLogView.filter($"url" === victim && $"outcome" === "ok").count() >= 1,
+      "un-blocked url was not crawled after uncrawlable delete")
+  }
+
   test("a created source seeds the crawl; a soft-deleted one stops") {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val store = new TableStore(spark, SparkTestBase.tempDir("mut-crawl"))

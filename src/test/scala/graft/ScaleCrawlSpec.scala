@@ -189,6 +189,77 @@ class ScaleCrawlSpec extends AnyFunSuite {
       .forall(_.getAs[String]("eff_robots_txt").contains("Disallow")))
   }
 
+  test("a zero-delay host no longer disables WindowGroupLimit for the other hosts") {
+    val store = new TableStore(spark, SparkTestBase.tempDir("budget-zero"))
+    val s = new Scheduler(spark, store, CrawlConfig())
+    val queued = (0 until 300).map(i =>
+      (s"http://h${i % 3}/p$i", "GET", s"h${i % 3}", "A", 0L, i.toLong, "queued"))
+      .toDF("url", "method", "host", "lane", "wave", "seq", "state")
+    // h1 carries a robots Crawl-delay: 0 — the round-3 plan collapsed the
+    // rank bound to Long.MaxValue for EVERY host in this situation
+    val hostPlan = Seq(
+      ("h0", "A", false, "", 1.0, 0.0),
+      ("h1", "A", false, "User-agent: *\nCrawl-delay: 0\n", 0.0, 0.0),
+      ("h2", "A", false, "", 2.0, 0.0))
+      .toDF("host", "lane", "robots_now", "eff_robots_txt", "eff_delay", "start_vt")
+    val b = s.politeBudget(queued, hostPlan, waveEnd = 8.0, rankBound = 9)
+    assert(b.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "positive-delay hosts lost their WindowGroupLimit prune")
+    val perHost = b.collect().groupBy(_.getAs[String]("host")).view.mapValues(_.length).toMap
+    assert(perHost("h0") == 8)   // 8s window / 1s delay
+    assert(perHost("h1") == 100) // zero delay: whole backlog inside the window
+    assert(perHost("h2") == 4)   // 8s / 2s
+  }
+
+  test("one wave scans the committed frontier log exactly once") {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("frontier-scan-count"))
+    val s = new Scheduler(spark, store, CrawlConfig(waveWindowSec = 8.0))
+    val deep = Fixtures.ScaleConfig(hosts = 2, pagesPerHost = 24,
+      outDegree = 8, contentFraction = 0.0, fillerParagraphs = 1)
+    s.bootstrap(Fixtures.scaleSitePages(spark, deep).toDF(),
+      Fixtures.sourcesDF(spark, Fixtures.scaleSiteSources(deep, crawlingHosts = 2)))
+    // a few waves so the committed frontier log has real history
+    (0L to 2L).foreach(s.runWave)
+    val committedDirs = {
+      val d = new java.io.File(store.rootPath, "frontier")
+      d.listFiles().map(_.getAbsolutePath).toSet
+    }
+    val scanCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def touches(qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.analyzed.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.map(_.toString)
+              case _ => Nil
+            }
+        }.flatten.exists(p => committedDirs.exists(p.contains))
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        if (touches(qe)) scanCount.incrementAndGet()
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      s.runWave(3L)
+      // listener events dispatch asynchronously — wait for the bus to drain
+      val deadline = System.nanoTime() + 15e9.toLong
+      var last = -1
+      while (System.nanoTime() < deadline &&
+        (scanCount.get() == 0 || scanCount.get() != last)) {
+        last = scanCount.get(); Thread.sleep(500)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    // exactly one execution (the per-wave localCheckpoint materialization)
+    // reads the committed transition log; the gauge, the budget slice and
+    // the active-set all reuse the checkpointed frame
+    assert(scanCount.get() == 1,
+      s"committed frontier log was scanned ${scanCount.get()} times in one wave")
+  }
+
   test("uncrawlable urls are never enqueued or fetched") {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val store = new TableStore(spark, SparkTestBase.tempDir("uncrawl-crawl"))

@@ -572,6 +572,13 @@ object SparkEntry {
       Similarity.lshTopK(synthEmb(s, d), synthQueries(s, d), dim = 64, k = 10,
           rowsPerBand = 4, bands = 24)
         .select(col("query_id"), col("vec_id"), col("rank"))),
+    // ANN3: the IVF coarse-quantizer path (probe 3/8 cells; on the circle
+    // fixture the trained cells are contiguous arcs, so 3 adjacent cells
+    // cover every true top-10 — recall 1 by construction, same oracle)
+    "ann3_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(synthEmb(s, d), synthQueries(s, d), dim = 64, k = 10,
+          nlist = 8, nprobe = 3)
+        .select(col("query_id"), col("vec_id"), col("rank"))),
 
     // ---------------- text analysis
     "t1_lang_dist" -> ((s, d) =>
@@ -899,6 +906,7 @@ object SparkEntry {
       "WITH r AS (SELECT DISTINCT min(vec_id) OVER (PARTITION BY vec_id % 97) AS rep, vec_id % 97 AS res FROM embeddings) SELECT least(a.rep, b.rep) AS a_id, greatest(a.rep, b.rep) AS b_id FROM r a JOIN r b ON a.res < b.res AND abs(a.res - b.res) <= 9",
     "ann1_bruteforce_topk" -> annOracleSql,
     "ann2_lsh_topk" -> annOracleSql,
+    "ann3_ivf_topk" -> annOracleSql,
     "t1_lang_dist" -> "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "t6_extract_text" ->
       "SELECT doc_id, concat('Doc ', CAST(doc_id AS VARCHAR), ' alpha ', CAST(doc_id AS VARCHAR), ' beta') AS page_text FROM documents WHERE doc_id < 200",

@@ -68,6 +68,24 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   private val EnqueueOffset = 1L << 24 // response-derived enqueues sort after next wave's seeds
   private val baseEpochSec: Long = Model.VirtualEpoch.getTime / 1000L
 
+  /** Concurrent job submission for a wave's INDEPENDENT actions (the staged
+    * table writes, the final materializations, the stat counts). A wave is
+    * dominated by driver-side job latency, not compute — each action is one
+    * round trip through the scheduler — so independent actions submit from
+    * a small thread pool (the standard Spark multi-job driver pattern;
+    * shared persisted frames are safe, the BlockManager serializes
+    * first-computation per block). Failures propagate: any action throwing
+    * fails the wave before commitWave publishes. */
+  private val waveExec = java.util.concurrent.Executors.newFixedThreadPool(8,
+    (r: Runnable) => { val t = new Thread(r, "wave-par"); t.setDaemon(true); t })
+
+  private def par[T](thunks: Seq[() => T]): Seq[T] = {
+    import scala.jdk.CollectionConverters._
+    val futures = waveExec.invokeAll(
+      thunks.map(t => new java.util.concurrent.Callable[T] { def call(): T = t() }).asJava)
+    futures.asScala.map(_.get()).toSeq // get() rethrows the first failure
+  }
+
   private def vtTs(vtCol: Column): Column = timestamp_seconds(lit(baseEpochSec) + floor(vtCol))
 
   private val robotsDelayUdf = udf { (txt: String, agent: String) =>
@@ -528,7 +546,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // ---- 7. url writes (MOR appends)
     val urlsEff = urlsWave.unionByName(seedCreates)
 
-    val getUpdates = getOk.alias("g")
+    val getUpdatesRaw = getOk.alias("g")
       .join(urlsEff.alias("u"), col("g.url") === col("u.url"), "inner") // u.Read must succeed
       .select(
         col("g.url").as("url"), col("u.created").as("created"), vtTs($"vt").as("updated"),
@@ -540,9 +558,8 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         col("u.id").as("id"), lit(0).as("headers_took"), lit(0).as("download_took"),
         col("g.resp_headers").as("headers"), col("u.meta").as("meta"),
         col("u.hash").as("hash"))
-      .localCheckpoint()
 
-    val headUpdates = headHtml.alias("g")
+    val headUpdatesRaw = headHtml.alias("g")
       .join(urlsEff.alias("u"), col("g.url") === col("u.url"), "inner")
       .select(
         col("g.url").as("url"), col("u.created").as("created"), vtTs($"vt").as("updated"),
@@ -553,7 +570,6 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         col("u.id").as("id"), lit(0).as("headers_took"), lit(0).as("download_took"),
         col("g.resp_headers").as("headers"), col("u.meta").as("meta"),
         col("u.hash").as("hash"))
-      .localCheckpoint()
 
     // URL-seen check (J8/A9): sharded bloom prefilter over the committed
     // urls table — candidates the bloom rejects are definitely new (no false
@@ -574,9 +590,15 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       case _ =>
         dstNotSeeded.join(urlsWave.select($"url".as("dst")), Seq("dst"), "left_anti")
     }
-    val dstCreates = dstNew
+    val dstCreatesRaw = dstNew
       .select(newUrlRowCols($"dst", vtTs($"src_vt")): _*)
-      .localCheckpoint()
+
+    // the three url-write deltas are mutually independent — materialize
+    // them with concurrent job submission (driver-latency-bound actions)
+    val Seq(getUpdates, headUpdates, dstCreates) = par(Seq(
+      () => getUpdatesRaw.localCheckpoint(),
+      () => headUpdatesRaw.localCheckpoint(),
+      () => dstCreatesRaw.localCheckpoint()))
 
     // ---- 8. snapshots (T9): GET-only append
     val snapshotRows = getOk.select($"url", vtTs($"vt").as("created"),
@@ -696,32 +718,35 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       .unionByName(withMor(headUpdates, w, 2))
       .unionByName(withMor(dstCreates, w, 1))
 
-    val staged = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    def stage(table: String, df: DataFrame, append: Boolean): Unit = {
-      val v = if (append) store.stageAppend(table, df) else store.stageRewrite(table, df)
-      staged += (table -> v)
-    }
-    // cluster the delta by bucket so each output file covers few buckets —
-    // the bucket isin-filter then skips whole files via parquet stats
-    staged += ("urls" -> store.stageAppend("urls",
-      urlAppends.repartition(col("ubucket"))))
-    stage("links", linkRows, append = true)
-    stage("snapshots", snapshotRows, append = true)
-    stage("fetch_log", fetchLogRows, append = true)
-    // frontier deltas cluster by fbucket like the urls table: point reads
-    // (seedUrl/markUncrawlable) prune to one bucket's files via parquet
-    // stats, and compaction can rewrite buckets independently
-    staged += ("frontier" -> store.stageAppend("frontier",
-      frontierAppends.repartition(col("fbucket"))))
-    stage("host_state", hostStateTouched, append = true)
-    if (doSeed) stage("whitelist", whitelist, append = false)
-
-    // merge this wave's new urls into the sharded seen bloom: per-shard
-    // delta blooms built distributed, OR-merged into the previous version's
-    // shard files executor-side, published as a new version dir with the
-    // wave's manifest (dstCreates is already materialized, so the probe
-    // above saw the pre-merge filters — ordering is safe)
-    if (cfg.useBloomPrefilter) {
+    // Every staged table write is independent of the others, and the wave's
+    // three stat counts read already-materialized frames — submit them all
+    // concurrently (the wave is driver-job-latency-bound; the writes also
+    // overlap their input materializations). "#"-keyed results are counts,
+    // everything else is (table -> staged version).
+    val actions = Seq[() => (String, Long)](
+      // cluster the delta by bucket so each output file covers few buckets —
+      // the bucket isin-filter then skips whole files via parquet stats
+      () => ("urls", store.stageAppend("urls", urlAppends.repartition(col("ubucket")))),
+      () => ("links", store.stageAppend("links", linkRows)),
+      () => ("snapshots", store.stageAppend("snapshots", snapshotRows)),
+      () => ("fetch_log", store.stageAppend("fetch_log", fetchLogRows)),
+      // frontier deltas cluster by fbucket like the urls table: point reads
+      // (seedUrl/markUncrawlable) prune to one bucket's files via parquet
+      // stats, and compaction can rewrite buckets independently
+      () => ("frontier", store.stageAppend("frontier",
+        frontierAppends.repartition(col("fbucket")))),
+      () => ("host_state", store.stageAppend("host_state", hostStateTouched)),
+      () => ("#taken", budgeted.count()),
+      () => ("#ok", fetched.filter($"found").count()),
+      () => ("#enq", newEnqueues.count())
+    ) ++ (if (doSeed)
+      Seq(() => ("whitelist", store.stageRewrite("whitelist", whitelist))) else Nil
+    ) ++ (if (cfg.useBloomPrefilter) Seq(() => {
+      // merge this wave's new urls into the sharded seen bloom: per-shard
+      // delta blooms built distributed, OR-merged into the previous
+      // version's shard files executor-side, published as a new version dir
+      // with the wave's manifest (dstCreates is already materialized, so
+      // the probe above saw the pre-merge filters — ordering is safe)
       val newUrls = seedCreates.select("url").unionByName(dstCreates.select("url"))
       // empty delta: re-point the manifest at the previous shard dir instead
       // of rebuilding — most steady-state waves add few or no urls
@@ -733,11 +758,13 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
             perShardItems, cfg.bloomFpp, d, bloomDir)
           d
         } else bloomDir.get
-      stage("seen_bloom_meta",
+      ("seen_bloom_meta", store.stageRewrite("seen_bloom_meta",
         Seq((w, newDir, cfg.bloomShards, perShardItems, cfg.bloomFpp))
-          .toDF("wave", "dir", "shards", "per_shard_items", "fpp"),
-        append = false)
-    }
+          .toDF("wave", "dir", "shards", "per_shard_items", "fpp")))
+    }) else Nil)
+    val results = par(actions)
+    val staged = results.filterNot(_._1.startsWith("#"))
+    val countOf = results.filter(_._1.startsWith("#")).toMap
 
     // per-partition lineage of the committed files (T10 resumability
     // evidence): full per-partition rows for the two load-bearing state
@@ -745,7 +772,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // its parquet FOOTERS on the driver — the same metadata an Iceberg
     // manifest records at commit time, with zero extra cluster jobs
     val bigTables = Set("urls", "frontier")
-    val perPart = staged.toSeq.filter(kv => bigTables(kv._1)).map { case (t, v) =>
+    val perPart = staged.filter(kv => bigTables(kv._1)).map { case (t, v) =>
       spark.read.parquet(store.versionPath(t, v))
         .groupBy(spark_partition_id().as("partition_id"))
         .agg(count(lit(1)).as("rows"))
@@ -753,16 +780,16 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         .withColumn("version", lit(v))
         .select("wave", "table", "partition_id", "rows", "version")
     }
-    val footerDF = staged.toSeq.filterNot(kv => bigTables(kv._1))
+    val footerDF = staged.filterNot(kv => bigTables(kv._1))
       .map { case (t, v) =>
         (w, t, -1, footerRowCount(store.versionPath(t, v)), v)
       }.toDF("wave", "table", "partition_id", "rows", "version")
     val lineageDF = (perPart :+ footerDF).reduce(_ unionByName _)
     store.stageAppend("lineage", lineageDF)
 
-    val takenCount = budgeted.count()
-    val okCount = fetched.filter($"found").count()
-    val enqCount = newEnqueues.count()
+    val takenCount = countOf("#taken")
+    val okCount = countOf("#ok")
+    val enqCount = countOf("#enq")
     // queue depth after this wave, from the deltas (never re-materializes
     // the frontier): queued-before-incl-seeds - taken + enqueued
     val depth = queuedTotal - takenCount + enqCount
@@ -785,8 +812,12 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     val stats = scala.collection.mutable.ArrayBuffer.empty[WaveStats]
     var w = store.currentWave + 1
     var continue = true
+    val waveDebug = sys.env.contains("GRAFT_WAVE_DEBUG")
     while (continue && w < maxWaves) {
+      val t0 = System.nanoTime()
       val s = runWave(w)
+      if (waveDebug) System.err.println(
+        f"[wave] $w ${(System.nanoTime() - t0) / 1e9}%.2fs taken=${s.taken} enq=${s.enqueued}")
       stats += s
       if (cfg.compactEvery > 0 && w > 0 && w % cfg.compactEvery == 0) compactTables()
       if (s.frontierDepth == 0 && s.taken == 0 && s.enqueued == 0 && w > 0) continue = false

@@ -80,16 +80,40 @@ final class TableStore(spark: SparkSession, rootDir: String) {
 
   def exists(table: String): Boolean = committed.get(table).exists(_.nonEmpty)
 
-  private def tryRead(paths: Seq[String]): Option[DataFrame] =
+  /** Union schema of each table's versions, so multi-version MOR reads
+    * never re-scan parquet footers. A table that mixes pre-migration
+    * versions (e.g. a frontier snapshot without f_wave/f_prio) with
+    * post-migration deltas must be read with the UNION of the file schemas
+    * — a plain multi-path read infers from one footer (often the oldest
+    * version) and silently drops the newer stamp columns, turning
+    * latest-wins ties nondeterministic. But `mergeSchema=true` launches a
+    * footer-reading job per read, which at ~7 table reads/wave dominated
+    * fixture-crawl wall time. So: the ONE cold multi-version open of a
+    * resumed store pays the mergeSchema job; every staged write merges its
+    * frame's schema in (the only writer is this store), and every later
+    * read passes the cached schema explicitly — files missing a column
+    * yield nulls, exactly the mergeSchema semantics, at zero footer cost. */
+  private val unionSchema =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  private def mergeInto(table: String, s: org.apache.spark.sql.types.StructType): Unit =
+    unionSchema.updateWith(table) {
+      case None => Some(s)
+      case Some(acc) =>
+        Some(s.fields.foldLeft(acc)((a, f) =>
+          if (a.fieldNames.contains(f.name)) a else a.add(f)))
+    }
+
+  private def tryRead(table: String, paths: Seq[String]): Option[DataFrame] =
     try {
-      // mergeSchema: a MOR table that mixes pre-migration versions (e.g. a
-      // frontier snapshot without f_wave/f_prio) with post-migration deltas
-      // must read the UNION of the file schemas — without it Spark infers
-      // from one footer (often the oldest version) and silently drops the
-      // newer stamp columns, turning latest-wins ties nondeterministic.
-      // Single-version reads pay nothing extra; multi-version reads pay one
-      // footer per version at plan time, not per row.
-      val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      val df = unionSchema.get(table) match {
+        case Some(s) => spark.read.schema(s).parquet(paths: _*)
+        case None if paths.size > 1 =>
+          val d = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+          mergeInto(table, d.schema)
+          d
+        case None => spark.read.parquet(paths: _*)
+      }
       Some(df)
     } catch {
       // a committed version can be schema-less when the delta was empty
@@ -105,32 +129,59 @@ final class TableStore(spark: SparkSession, rootDir: String) {
   def readAppendOnly(table: String): Option[DataFrame] = {
     val versions = committed.getOrElse(table, Nil)
     if (versions.isEmpty) None
-    else tryRead(versions.map(v => tableDir(table, v).toString))
+    else tryRead(table, versions.map(v => tableDir(table, v).toString))
   }
 
-  /** Read only the newest committed version (rewrite tables). */
+  /** Read only the newest committed version (rewrite tables). The cached
+    * union schema is NOT applied here: a rewrite table's live schema is by
+    * definition its newest version's, and backfilling legacy columns as
+    * nulls would widen it. */
   def readLatest(table: String): Option[DataFrame] = {
     val versions = committed.getOrElse(table, Nil)
-    versions.lastOption.flatMap(v => tryRead(Seq(tableDir(table, v).toString)))
+    versions.lastOption.flatMap { v =>
+      try Some(spark.read.parquet(tableDir(table, v).toString))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    }
   }
 
   /** Stage an append (new delta version). Data is durable immediately but
     * only becomes visible once commitWave() swaps the manifest. */
+  /** Guards pendingVersions read-modify-write: a wave stages independent
+    * tables from concurrent driver threads (standard Spark concurrent job
+    * submission), so version reservation must be atomic. The reservation
+    * happens BEFORE the parquet write — a failed write fails the wave
+    * before commitWave publishes anything, so a reserved-but-dead version
+    * is never visible. */
+  private val stageLock = new Object
+
   def stageAppend(table: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Long = {
-    val next = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
+    val next = stageLock.synchronized {
+      val n = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
+      pendingVersions = pendingVersions.updated(table, pendingVersions.getOrElse(table, Nil) :+ n)
+      n
+    }
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tableDir(table, next).toString)
-    pendingVersions = pendingVersions.updated(table, pendingVersions.getOrElse(table, Nil) :+ next)
+    // fold the delta's schema into the cached union BEFORE any read needs
+    // it: the first read of a store populated in-session then never pays a
+    // footer-merge job. (If this staged version is later dropped by
+    // resetPending the cache may keep a phantom column — reads then
+    // backfill it as nulls, which is the mergeSchema semantics anyway.)
+    mergeInto(table, df.schema)
     next
   }
 
   /** Stage a full rewrite (replaces all prior versions on commit). */
   def stageRewrite(table: String, df: DataFrame): Long = {
-    val next = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
+    val next = stageLock.synchronized {
+      val n = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
+      pendingVersions = pendingVersions.updated(table, Seq(n))
+      n
+    }
     df.write.mode("overwrite").parquet(tableDir(table, next).toString)
-    pendingVersions = pendingVersions.updated(table, Seq(next))
+    unionSchema.update(table, df.schema) // prior versions are dropped
     next
   }
 
@@ -160,5 +211,6 @@ final class TableStore(spark: SparkSession, rootDir: String) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tableDir(table, next).toString)
     pendingVersions = pendingVersions.updated(table, Seq(next))
+    unionSchema.update(table, view.schema) // history is dropped
   }
 }

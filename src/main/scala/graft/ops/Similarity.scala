@@ -128,4 +128,104 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "rank", "cosine")
   }
+
+  /** IVF-flat ANN top-k — the coarse-quantizer index layout that carries
+    * billion-vector corpora (the standard alternative to LSH bucketing):
+    * train `nlist` centroids, assign every vector to its nearest cell, and
+    * answer a query by exact-scoring only the `nprobe` cells whose
+    * centroids are closest to it.
+    *
+    * Scale shape:
+    *   - training: deterministic hash-sampled seeds + `lloydIters` Lloyd
+    *     rounds, each ONE map-only pass (per-cell vector sums via map-side
+    *     combine; no shuffle wider than nlist×dim). Centroids live
+    *     driver-side and broadcast with the assignment kernel — at
+    *     nlist=65536, dim=768 that is ~200 MB, broadcast-sized.
+    *   - assignment: one-pass argmax kernel per row (map-only, same
+    *     UDF-kernel rationale as hyperplaneSig — an nlist-way join would
+    *     shuffle N×nlist rows); the index is narrow (cell, vec_id).
+    *   - search: queries broadcast with their nprobe cell lists; candidate
+    *     rows are id-only; vectors rejoin BY ID for the exact re-rank, so
+    *     no array crosses the candidate exchange. Expected probed fraction
+    *     ≈ nprobe/nlist of the corpus.
+    * Determinism: seeds are hash-ranked vec_ids; ties in assignment and
+    * ranking break on the lower cell id / vec_id, so the index and results
+    * are identical at any parallelism. */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 4): DataFrame = {
+    def unitize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    // deterministic seeding: the nlist hash-smallest vectors (a fixed
+    // pseudo-random sample, stable across runs and parallelism)
+    var centroids: Array[Array[Double]] = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(lit("ivf-seed"), col("vec_id")), col("vec_id"))
+      .limit(nlist).collect()
+      .map(r => unitize(r.getSeq[Float](1).toArray.map(_.toDouble)))
+
+    def assignUdf(cents: Array[Array[Double]]) = udf { (vec: Array[Float]) =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val row = cents(c)
+        var dot = 0.0; var j = 0
+        val n = math.min(row.length, vec.length)
+        while (j < n) { dot += row(j) * vec(j); j += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+        c += 1
+      }
+      best
+    }
+
+    // Lloyd rounds: one map-only pass each (sum + count per cell); empty
+    // cells keep their previous centroid. Cosine k-means: compare by dot
+    // against UNIT centroids, update to the (renormalized) mean direction.
+    for (_ <- 0 until lloydIters) {
+      val cents = centroids
+      val sums = emb
+        .select(assignUdf(cents)(col("embedding")).as("cell"), col("embedding"))
+        .groupBy("cell")
+        .agg(array((0 until dim).map(j =>
+          sum(element_at(col("embedding"), j + 1)).as(s"s$j")): _*).as("vsum"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val s = r.getSeq[Double](1).toArray
+        next(cell) = unitize(s)
+      }
+      centroids = next
+    }
+
+    val indexed = emb.select(col("vec_id"),
+      assignUdf(centroids)(col("embedding")).as("cell"))
+
+    // per-query top-nprobe cells by centroid dot (queries are tiny)
+    val cellsUdf = udf { (vec: Array[Float]) =>
+      centroids.zipWithIndex.map { case (row, c) =>
+        var dot = 0.0; var j = 0
+        val n = math.min(row.length, vec.length)
+        while (j < n) { dot += row(j) * vec(j); j += 1 }
+        (dot, c)
+      }.sortBy { case (d, c) => (-d, c) }.take(nprobe).map(_._2)
+    }
+    val qCells = queries
+      .select(col("query_id"), explode(cellsUdf(col("query_vec"))).as("cell"))
+
+    // each vector lives in exactly one cell and a query's probe cells are
+    // distinct, so candidates need no dedup
+    val candIds = indexed.join(broadcast(qCells), Seq("cell"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = candIds
+      .join(broadcast(queries), Seq("query_id"))
+      .join(emb, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("query_vec"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
 }

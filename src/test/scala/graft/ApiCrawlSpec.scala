@@ -78,19 +78,26 @@ class ApiCrawlSpec extends AnyFunSuite {
   }
 
   test("MOR union reads merge mixed file schemas (resume from pre-migration files)") {
-    val store = new TableStore(spark, SparkTestBase.tempDir("mergeschema"))
+    val dir = SparkTestBase.tempDir("mergeschema")
+    val store = new TableStore(spark, dir)
     // legacy version without the MOR stamp column, newer delta with it —
-    // without mergeSchema Spark infers from ONE footer and can silently
-    // drop f_wave, making latest-wins ties nondeterministic
+    // a one-footer schema inference would silently drop f_wave, making
+    // latest-wins ties nondeterministic
     store.stageAppend("t", Seq(("u1", 1L)).toDF("url", "seq"))
     store.commitWave(0)
     store.stageAppend("t", Seq(("u2", 2L, 5L)).toDF("url", "seq", "f_wave"))
     store.commitWave(1)
-    val df = store.readAppendOnly("t").get
-    assert(df.columns.contains("f_wave"), "stamp column dropped on mixed-schema read")
-    val byUrl = df.collect().map(r => r.getAs[String]("url") -> r).toMap
-    assert(byUrl("u1").isNullAt(byUrl("u1").fieldIndex("f_wave")))
-    assert(byUrl("u2").getAs[Long]("f_wave") == 5L)
+    def check(s: TableStore): Unit = {
+      val df = s.readAppendOnly("t").get
+      assert(df.columns.contains("f_wave"), "stamp column dropped on mixed-schema read")
+      val byUrl = df.collect().map(r => r.getAs[String]("url") -> r).toMap
+      assert(byUrl("u1").isNullAt(byUrl("u1").fieldIndex("f_wave")))
+      assert(byUrl("u2").getAs[Long]("f_wave") == 5L)
+    }
+    check(store) // warm path: union schema cached from the staged writes
+    // cold path (resume): a fresh store over the same root has no cached
+    // schema — its first multi-version read must do the one-off mergeSchema
+    check(new TableStore(spark, dir))
   }
 
   test("seedUrl enforces ValidArchivingUrl: out-of-prefix urls are rejected pre-audit") {

@@ -198,6 +198,43 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("IVF top-k matches brute force exactly on the circle fixture") {
+    // the Verify/oracle fixture shape: unit-circle vectors at 97 residue
+    // angles; trained IVF cells are contiguous arcs, so nprobe=3 of nlist=8
+    // covers every true top-10 — recall must be exactly 1
+    def circle(id: Long, off: Double): Array[Float] = {
+      val theta = ((id % 97).toDouble + off) * math.Pi / 97
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat) ++ Array.fill(62)(0.0f)
+    }
+    val emb = (0L until 300L).map(i => (i, circle(i, 0.0))).toDF("vec_id", "embedding")
+    val q = (0L until 5L).map(i => (i, circle(i, 0.37))).toDF("query_id", "query_vec")
+    val truth = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val got = Similarity.ivfTopK(emb, q, dim = 64, k = 10, nlist = 8, nprobe = 3)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == truth)
+  }
+
+  test("IVF candidates are cell-bound: probed fraction ~ nprobe/nlist") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(16)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val emb = (0L until 800L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(v => v + rnd.nextGaussian().toFloat * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val q = emb.limit(4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val top = Similarity.ivfTopK(emb, q, dim = 32, k = 5, nlist = 16, nprobe = 2)
+    assert(top.groupBy("query_id").count().as[(Long, Long)].collect()
+      .forall(_._2 == 5))
+    // recall on strongly clustered data: the query's own cluster cell is
+    // always probed, so its 5 nearest clones must all be returned
+    val truth = Similarity.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = top.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert((truth intersect got).size.toDouble / truth.size >= 0.9)
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {

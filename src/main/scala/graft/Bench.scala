@@ -242,6 +242,17 @@ object Bench {
     val round2 = masters.map(kernelInSubprocess(_, scaleCfg))
     val best = round1.zip(round2).map { case (a, b) => if (a._1 <= b._1) a else b }
     val Seq(t2, t8, t32) = best.map(_._1)
+
+    // ---- the same 8→32 axis with REAL separate executor JVMs: 2 vs 8
+    // standalone executors, each pinned to 4 cores + its own 8g heap + GC
+    // pools (spark.executor.extraJavaOptions in session()) and real
+    // inter-process shuffles — the sandbox equivalent of spark-submit at
+    // N vs 4N executors. Same input, same shuffle layout, two interleaved
+    // fresh driver JVMs, min per level.
+    val clMasters = Seq("local-cluster[2,4,8192]", "local-cluster[8,4,8192]")
+    val cl1 = clMasters.map(kernelInSubprocess(_, scaleCfg))
+    val cl2 = clMasters.map(kernelInSubprocess(_, scaleCfg))
+    val clBest = cl1.zip(cl2).map { case (a, b) => if (a._1 <= b._1) a else b }
     val n8 = round1(1)._2
     val n32 = round1(2)._2
     val thr2 = n8 / t2
@@ -256,6 +267,10 @@ object Bench {
     val effDedup832 = best(1)._4 / best(2)._4 / 4.0
     val ceilMap832 = pm8 / pm32 / 4.0
     val ceilShuffle832 = ps8 / ps32 / 4.0
+    // executor-JVM axis throughputs + efficiency
+    val clThr8 = n32 / clBest(0)._1
+    val clThr32 = n32 / clBest(1)._1
+    val effCl832 = (clThr32 / clThr8) / 4.0
 
     // ---- per-query timings + end-to-end fixture crawl at round parallelism
     val spark = session(s"local[$cpus]", cpus)
@@ -303,6 +318,6 @@ object Bench {
     val qs = (timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" } ++
       errors.map(k => "\"" + k + "\":\"err\"")).mkString("{", ",", "}")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","scaling":{"kernel_urls":$n32,"t_local2_sec":$t2%.2f,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n2_to_4n8":$eff28%.3f,"efficiency_n8_to_4n32":$eff832%.3f,"efficiency_n_to_4n":$efficiency%.3f,"phase_8_32":{"kernel_map_eff":$effMap832%.3f,"kernel_dedup_eff":$effDedup832%.3f,"t8_map":${best(1)._3}%.2f,"t8_dedup":${best(1)._4}%.2f,"t32_map":${best(2)._3}%.2f,"t32_dedup":${best(2)._4}%.2f},"machine_ceiling_8_32":{"probe_map_eff":$ceilMap832%.3f,"probe_shuffle_eff":$ceilShuffle832%.3f,"probe_map_t8":$pm8%.2f,"probe_map_t32":$pm32%.2f,"probe_shuffle_t8":$ps8%.2f,"probe_shuffle_t32":$ps32%.2f,"kernel_vs_ceiling_map":${effMap832 / ceilMap832}%.3f,"kernel_vs_ceiling_dedup":${effDedup832 / ceilShuffle832}%.3f}}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","scaling":{"kernel_urls":$n32,"t_local2_sec":$t2%.2f,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n2_to_4n8":$eff28%.3f,"efficiency_n8_to_4n32":$eff832%.3f,"efficiency_n_to_4n":$efficiency%.3f,"cluster_exec_8_32":{"t_2x4core_execs_sec":${clBest(0)._1}%.2f,"t_8x4core_execs_sec":${clBest(1)._1}%.2f,"thr_2x4":$clThr8%.1f,"thr_8x4":$clThr32%.1f,"efficiency_n8_to_4n32_execjvms":$effCl832%.3f},"phase_8_32":{"kernel_map_eff":$effMap832%.3f,"kernel_dedup_eff":$effDedup832%.3f,"t8_map":${best(1)._3}%.2f,"t8_dedup":${best(1)._4}%.2f,"t32_map":${best(2)._3}%.2f,"t32_dedup":${best(2)._4}%.2f},"machine_ceiling_8_32":{"probe_map_eff":$ceilMap832%.3f,"probe_shuffle_eff":$ceilShuffle832%.3f,"probe_map_t8":$pm8%.2f,"probe_map_t32":$pm32%.2f,"probe_shuffle_t8":$ps8%.2f,"probe_shuffle_t32":$ps32%.2f,"kernel_vs_ceiling_map":${effMap832 / ceilMap832}%.3f,"kernel_vs_ceiling_dedup":${effDedup832 / ceilShuffle832}%.3f}}}""")
   }
 }

@@ -760,8 +760,47 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         round(TextAnalysis.repetitionRatio(text2), 4).as("rep_ratio"))
     }),
+    // D10: connected components over a duplicate-pair list (large-star/
+    // small-star) — planted chain edges link consecutive ids inside each
+    // 16-id block, so the component minimum is only reachable through up to
+    // 15 hops: the oracle's arithmetic truth (doc_id - doc_id % 16) holds
+    // ONLY if multi-hop transitivity actually works. Self-pairs are fed for
+    // every doc to exercise the singleton path.
+    "d10_dup_components" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val chain = ids.select(col("doc_id").as("a_id"))
+        .join(ids.select(col("doc_id").as("b_id")),
+          col("b_id") === col("a_id") + 1 &&
+            floor(col("b_id") / 16) === floor(col("a_id") / 16))
+      val selfs = ids.select(col("doc_id").as("a_id"), col("doc_id").as("b_id"))
+      Dedup.connectedComponents(chain.unionByName(selfs))
+    }),
+    // D10b: cluster summary (keep-one-per-component dedup decision)
+    "d10b_component_dedup" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val chain = ids.select(col("doc_id").as("a_id"))
+        .join(ids.select(col("doc_id").as("b_id")),
+          col("b_id") === col("a_id") + 1 &&
+            floor(col("b_id") / 16) === floor(col("a_id") / 16))
+      val selfs = ids.select(col("doc_id").as("a_id"), col("doc_id").as("b_id"))
+      Dedup.componentDedup(chain.unionByName(selfs))
+    }),
     // D8: canonical-url dedup — groups of 3 docs share a base url behind
     // per-doc fragments; stripping the fragment merges them, keep-first
+    // T11: C4-style line filter — five planted lines per doc exercise every
+    // rule (terminal punctuation, min words, javascript marker, even-doc
+    // extra line); the oracle states the hand-derived surviving text
+    "t11_c4_filter" -> ((s, d) => {
+      val planted = concat(
+        lit("This is a good sentence number "), col("doc_id").cast("string"),
+        lit(".\nshort.\nNo terminal punctuation here\n"),
+        lit("Please enable javascript to continue now.\n"),
+        when(col("doc_id") % 2 === 0,
+          lit("Another fine line for even docs."))
+          .otherwise(lit("odd filler")))
+      TextAnalysis.c4LineFilter(
+        t(s, d, "documents").select(col("doc_id"), planted.as("text")))
+    }),
     "d8_url_canonical_dedup" -> ((s, d) => {
       val base = col("doc_id") - col("doc_id") % 3
       val u = concat(urlCol(base),
@@ -974,6 +1013,20 @@ object SparkEntry {
         "'\\+\\d{1,3}-\\d{3}-\\d{4}', '[PHONE]', 'g') AS scrubbed FROM documents"),
     "t10_repetition" ->
       "SELECT doc_id, round(1.0 - 2.0 / (doc_id % 4 + 2), 4) AS rep_ratio FROM documents",
+    // arithmetic truth of the planted 16-id chain blocks: the component
+    // minimum is reachable only via up to 15 hops, so these equalities hold
+    // only if transitive closure is computed correctly
+    "d10_dup_components" ->
+      "SELECT doc_id, doc_id - doc_id % 16 AS component_id FROM documents",
+    "d10b_component_dedup" ->
+      "SELECT doc_id - doc_id % 16 AS component_id, min(doc_id) AS keep_id, count(*) AS cluster_size FROM documents GROUP BY 1",
+    // hand-derived survivors of the five planted lines (keep rule: terminal
+    // punctuation AND >=3 words AND no code/boilerplate marker)
+    "t11_c4_filter" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN " +
+        "'This is a good sentence number ' || CAST(doc_id AS VARCHAR) || '.' || chr(10) || 'Another fine line for even docs.' " +
+        "ELSE 'This is a good sentence number ' || CAST(doc_id AS VARCHAR) || '.' END AS clean_text, " +
+        "CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_kept_lines FROM documents"),
     "d8_url_canonical_dedup" ->
       s"SELECT ${urlsSql.replace("doc_id", "(doc_id - doc_id % 3)")} AS canonical, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
     // pinned golden rows from the deterministic fixture crawl (the

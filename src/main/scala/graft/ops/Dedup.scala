@@ -305,4 +305,93 @@ object Dedup {
         greatest(col("ia"), col("ib")).as("b_id"), col("cosine"))
     dupPairs.unionByName(crossPairs).select("a_id", "b_id", "cosine")
   }
+
+  /** Connected components over a near-duplicate pair list — the step that
+    * turns pairwise candidates (minhashPairs / simhashPairs /
+    * embeddingDupPairs output) into duplicate CLUSTERS so a corpus can keep
+    * one representative per component (pairs alone under-delete: a~b and
+    * b~c must collapse a,b,c together even when a~c was never emitted).
+    *
+    * Algorithm: alternating large-star / small-star (the MapReduce CC
+    * algorithm of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — each round is two shuffle-on-node groupBy/join
+    * passes over the EDGE list, and the edge set contracts toward stars in
+    * O(log n) rounds even on diameter-n chains (plain min-label propagation
+    * needs diameter rounds). No driver-side state: the driver loop only
+    * compares a per-round (count, hash-xor) checksum; all data stays
+    * distributed, and `localCheckpoint` truncates the growing plan lineage
+    * each round (the standard treatment for iterative DataFrame algorithms).
+    *
+    * Input: (a_id, b_id) rows (any orientation, self-pairs and duplicates
+    * tolerated). Output: (doc_id, component_id) for every node that appears
+    * in the input, where component_id = min doc_id of the component —
+    * deterministic at any parallelism.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    // canonical undirected edge list, oriented u > v
+    val init = pairs
+      .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
+    val nodes = init.select(col("u").as("doc_id"))
+      .unionByName(init.select(col("v").as("doc_id"))).distinct()
+    var edges = init.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
+
+    // large-star: every node links its strictly-larger neighbors to the
+    // minimum of its neighborhood (incl. itself); small-star: every node
+    // links its smaller neighbors (and itself) to the neighborhood minimum.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val joined = e.join(mins, Seq("u"))
+      joined.filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(joined.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .distinct()
+    }
+    // (count, xor-of-hashes): order-independent, no ANSI sum overflow; the
+    // edge set is distinct so xor cancellation cannot hide a real change
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = checksum(edges)
+    var converged = edges.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val cur = checksum(edges)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+
+    // at the star fixed point every edge is (member, root); roots and
+    // isolated nodes map to themselves
+    nodes.join(edges.select(col("u").as("doc_id"), col("v").as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("component_id"))
+  }
+
+  /** One-representative-per-cluster dedup summary over a pair list:
+    * component id (= min member), kept doc, and cluster size. */
+  def componentDedup(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy("component_id")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cluster_size"))
 }

@@ -194,6 +194,35 @@ object TextAnalysis {
         size(array_distinct(lines)).cast("double") / size(lines))
   }
 
+  /** C4-style line filter (the Raffel et al. cleaning pass): keep only
+    * lines that end in terminal punctuation, have at least `minWords`
+    * whitespace words, and carry no code/boilerplate markers ("{",
+    * "javascript", "lorem ipsum", "cookie", case-insensitive); then drop
+    * documents left with fewer than `minLines` surviving lines. Pure
+    * filter/transform array ops — codegen'd, no UDF, no shuffle: the pass
+    * is embarrassingly parallel over documents, which is what makes it
+    * viable as the first cut on a 100 TB raw crawl.
+    *
+    * Returns (doc_id, clean_text, n_kept_lines).
+    */
+  def c4LineFilter(docs: DataFrame, textCol: String = "text",
+      minWords: Int = 3, minLines: Int = 1): DataFrame = {
+    val keepLine = (l: Column) => {
+      val t = trim(l)
+      val lc = lower(t)
+      t.rlike("[.!?\"']$") &&
+        size(split(t, "\\s+")) >= minWords &&
+        !lc.contains("{") && !lc.contains("javascript") &&
+        !lc.contains("lorem ipsum") && !lc.contains("cookie")
+    }
+    val kept = filter(split(col(textCol), "\n"), keepLine)
+    docs.withColumn("kept_", kept)
+      .filter(size(col("kept_")) >= minLines)
+      .select(col("doc_id"),
+        array_join(col("kept_"), "\n").as("clean_text"),
+        size(col("kept_")).as("n_kept_lines"))
+  }
+
   /** Top-k n-grams by frequency (corpus statistics): tokenize, slide an
     * n-window via transform/slice (codegen'd — no UDF), explode, count,
     * global top-k. The orderBy+limit is a TakeOrderedAndProject, so only k

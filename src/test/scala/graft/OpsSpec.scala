@@ -116,6 +116,57 @@ class DedupSpec extends AnyFunSuite {
       minCosine = 0.95, maxBucket = 100).count()
     assert(n == 1000L * 999 / 2, s"expected all identical pairs, got $n")
   }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("a_id", "b_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Driver-side union-find reference for randomized comparison. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("connected components: deep chain needs true multi-hop transitivity") {
+    // a 100-node path has diameter 99 — min-label propagation would need 99
+    // rounds; large-star/small-star must still converge (maxRounds 64)
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    val cc = ccOf(chain)
+    assert(cc.size == 100 && cc.values.forall(_ == 0L))
+  }
+
+  test("connected components: orientation, duplicates, self-pairs, singletons") {
+    val edges = Seq((5L, 3L), (3L, 5L), (5L, 3L), (7L, 7L), (10L, 11L))
+    val cc = ccOf(edges)
+    assert(cc == Map(3L -> 3L, 5L -> 3L, 7L -> 7L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components match union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 200
+      val edges = (0 until 250).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val expected = ufComponents(edges)
+      assert(ccOf(edges) == expected, s"trial $trial mismatch")
+    }
+  }
+
+  test("componentDedup summarizes clusters") {
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 8L), (4L, 4L))
+    val rows = Dedup.componentDedup(edges.toDF("a_id", "b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 1L, 3L), (8L, 8L, 2L), (4L, 4L, 1L)))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -266,6 +317,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     // Latin text with a couple of CJK chars stays on the stopword path
     assert(TextAnalysis.detectLanguage(
       "the cat and the dog of the house was for them 漢字") == "en")
+  }
+
+  test("c4 line filter keeps punctuated prose, drops boilerplate") {
+    val docs = Seq(
+      (0L, "This sentence is properly terminated.\nshort.\nno punctuation here\n" +
+        "Please enable JavaScript to view.\nfunction f() { return 1; }\n" +
+        "We value your privacy and use cookie banners.\nAnother good line stays here!"),
+      (1L, "nothing survives here\nok.\n{ }")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(docs).collect()
+    assert(out.length == 1) // doc 1 loses every line and is dropped
+    val r = out.head
+    assert(r.getAs[Long]("doc_id") == 0L)
+    assert(r.getAs[String]("clean_text") ==
+      "This sentence is properly terminated.\nAnother good line stays here!")
+    assert(r.getAs[Int]("n_kept_lines") == 2)
   }
 
   test("quality signals arithmetic") {

@@ -134,7 +134,20 @@ object Bench {
       val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         val (_, tm, td) = waveKernel(spark, cfg)
-        ((System.nanoTime() - t0) / 1e9, tm, td)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // each iteration leaves ~GBs of shuffle files; ContextCleaner only
+        // reclaims them after a DRIVER GC, and a large-heap driver may never
+        // GC during the run — the files then pile up and later iterations
+        // pay their writeback (observed as 10x dedup-phase blowups on
+        // multi-executor masters). Force the GC between iterations so each
+        // one starts from a clean shuffle dir. The cleanup itself is async
+        // (driver RPC → executor file deletes), so give it time to finish
+        // OUTSIDE the next timed iteration — at few-executor levels each
+        // executor hosts proportionally more shuffle files and an in-flight
+        // cleanup drags the next measurement.
+        System.gc()
+        Thread.sleep(3000)
+        (dt, tm, td)
       }
       val best = times.minBy(_._1)
       (best._1, cfg.hosts.toLong * cfg.pagesPerHost, best._2, best._3)

@@ -801,6 +801,35 @@ object SparkEntry {
       TextAnalysis.c4LineFilter(
         t(s, d, "documents").select(col("doc_id"), planted.as("text")))
     }),
+    // T12: benchmark decontamination — docs with doc_id%5==0 embed a
+    // 10-token benchmark phrase before their unique filler, so with n=8
+    // exactly the 3 in-phrase windows collide; all other windows carry
+    // per-doc tokens and cannot
+    "t12_decontamination" -> ((s, d) => {
+      val phrase = "the quick brown fox jumps over the lazy dog tonight"
+      val docText = when(col("doc_id") % 5 === 0,
+        concat(lit(phrase + " doc"), col("doc_id").cast("string"),
+          lit(" filler"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("unrelated content for doc"),
+          col("doc_id").cast("string")))
+      val bench = s.range(1).select(lit(phrase).as("text"))
+      TextAnalysis.decontaminate(
+        t(s, d, "documents").select(col("doc_id"), docText.as("text")),
+        bench, n = 8)
+    }),
+    // D11: the full MinHash dedup pipeline a corpus actually runs — LSH
+    // candidate pairs → connected components → keep-one-per-cluster. Planted
+    // clusters are the d2 quadruples (doc_id//4 share 24/26 vocab), so the
+    // cluster decision is the arithmetic group; self-pairs keep singletons
+    "d11_minhash_dedup" -> ((s, d) => {
+      val corpus = t(s, d, "documents")
+        .select(col("doc_id"), corpusText(col("doc_id")).as("text"))
+      val pairs = Dedup.minhashPairs(corpus, k = 1, numHashes = 64,
+        bands = 16, minEstJaccard = 0.5).select("a_id", "b_id")
+      val selfs = corpus.select(col("doc_id").as("a_id"),
+        col("doc_id").as("b_id"))
+      Dedup.componentDedup(pairs.unionByName(selfs))
+    }),
     "d8_url_canonical_dedup" -> ((s, d) => {
       val base = col("doc_id") - col("doc_id") % 3
       val u = concat(urlCol(base),
@@ -1027,6 +1056,13 @@ object SparkEntry {
         "'This is a good sentence number ' || CAST(doc_id AS VARCHAR) || '.' || chr(10) || 'Another fine line for even docs.' " +
         "ELSE 'This is a good sentence number ' || CAST(doc_id AS VARCHAR) || '.' END AS clean_text, " +
         "CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_kept_lines FROM documents"),
+    // planted contamination truth: only the 3 in-phrase 8-gram windows of
+    // the doc_id%5==0 docs occur in the benchmark phrase
+    "t12_decontamination" ->
+      "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 0 END AS n_contaminated, doc_id % 5 = 0 AS contaminated FROM documents",
+    // planted d2 quadruples are the clusters; keep = min of each
+    "d11_minhash_dedup" ->
+      "SELECT doc_id - doc_id % 4 AS component_id, min(doc_id) AS keep_id, count(*) AS cluster_size FROM documents GROUP BY 1",
     "d8_url_canonical_dedup" ->
       s"SELECT ${urlsSql.replace("doc_id", "(doc_id - doc_id % 3)")} AS canonical, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
     // pinned golden rows from the deterministic fixture crawl (the

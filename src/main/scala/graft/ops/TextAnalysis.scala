@@ -223,6 +223,38 @@ object TextAnalysis {
         size(col("kept_")).as("n_kept_lines"))
   }
 
+  /** Benchmark decontamination — the train/test-leak gate of an LLM data
+    * pipeline: a training document is contaminated if any length-`n` token
+    * window of it also occurs in an evaluation benchmark. Both sides
+    * tokenize and slide the same window (transform/slice/xxhash64 — all
+    * codegen'd, no UDF); the benchmark's gram-hash set is DISTINCT'd and
+    * **broadcast**, so the 100 TB corpus side never shuffles: each doc is
+    * scored with a map-side semi-join (benchmarks are small — ~10^4 docs →
+    * ~10^7 64-bit hashes, well under broadcast limits). Returns one row per
+    * input doc: (doc_id, n_contaminated distinct colliding grams,
+    * contaminated flag).
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 13, textCol: String = "text"): DataFrame = {
+    def gramHashes(c: Column): Column = {
+      val toks = split(trim(lower(c)), "\\s+")
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(0), size(toks) - n),
+          i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))))
+        .otherwise(array().cast("array<bigint>"))
+    }
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(textCol))).as("gram")).distinct()
+    val hits = docs
+      .select(col("doc_id"), explode(gramHashes(col(textCol))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Top-k n-grams by frequency (corpus statistics): tokenize, slide an
     * n-window via transform/slice (codegen'd — no UDF), explode, count,
     * global top-k. The orderBy+limit is a TakeOrderedAndProject, so only k

@@ -335,6 +335,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_kept_lines") == 2)
   }
 
+  test("decontamination flags docs sharing an n-gram with the benchmark") {
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val docs = Seq(
+      (0L, "prefix alpha beta gamma delta epsilon suffix"), // 1 colliding 5-gram
+      (1L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon"), // windows incl. wraps; distinct collisions = 1
+      (2L, "totally unrelated words here nothing shared at all"),
+      (3L, "short doc")) // fewer tokens than n
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(docs, bench, n = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) == ((1L, true)))
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((0L, false)))
+  }
+
   test("quality signals arithmetic") {
     val docs = Seq((0L, "aa bb cc"), (1L, ""), (2L, "single")).toDF("doc_id", "text")
     val rows = TextAnalysis.qualitySignals(docs).collect()

@@ -223,6 +223,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val sf = sfDir.split("sf").last
+    // dev iteration knobs: skip the ~25-min scaling ladder / the catalog
+    // sweep to time one phase in isolation (the driver's round run sets
+    // neither, so the committed artifact always carries all phases)
+    val skipScaling = sys.env.contains("GRAFT_BENCH_SKIP_SCALING")
+    val skipQueries = sys.env.contains("GRAFT_BENCH_SKIP_QUERIES")
 
     // identical input AND identical partition layout at both parallelism
     // levels — only the worker-thread count differs (the N vs 4N axis)
@@ -246,13 +251,14 @@ object Bench {
     // — interleaving means slow machine phases hit all levels alike instead
     // of biasing one ratio.
     val masters = Seq("local[2]", "local[8]", "local[32]")
-    val round1 = masters.map(kernelInSubprocess(_, scaleCfg))
+    def zeroes = masters.map(_ => (1.0, 1L, 1.0, 1.0))
+    val round1 = if (skipScaling) zeroes else masters.map(kernelInSubprocess(_, scaleCfg))
     // no-Spark machine ceiling measured BETWEEN the kernel rounds of the
     // same session: the single-box 8→32-thread ceiling drifts run to run
     // (hypervisor neighbors, memory-bus state), so the kernel's 8→32 axis
     // is only interpretable against a ceiling captured at the same moment
-    val probe = probeInSubprocess()
-    val round2 = masters.map(kernelInSubprocess(_, scaleCfg))
+    val probe = if (skipScaling) (1.0, 1.0, 1.0, 1.0) else probeInSubprocess()
+    val round2 = if (skipScaling) zeroes else masters.map(kernelInSubprocess(_, scaleCfg))
     val best = round1.zip(round2).map { case (a, b) => if (a._1 <= b._1) a else b }
     val Seq(t2, t8, t32) = best.map(_._1)
 
@@ -262,9 +268,18 @@ object Bench {
     // inter-process shuffles — the sandbox equivalent of spark-submit at
     // N vs 4N executors. Same input, same shuffle layout, two interleaved
     // fresh driver JVMs, min per level.
-    val clMasters = Seq("local-cluster[2,4,8192]", "local-cluster[8,4,8192]")
-    val cl1 = clMasters.map(kernelInSubprocess(_, scaleCfg))
-    val cl2 = clMasters.map(kernelInSubprocess(_, scaleCfg))
+    // Two executor-JVM axes:
+    //  * 1 vs 4 executors (4 -> 16 cores) — the north rule's literal
+    //    "N and 4N executors" shape, and the axis a real 4x scale-up
+    //    resembles: 16 cores leaves memory-bus headroom on this 32-core
+    //    box, so it measures Spark's scaling rather than the machine's.
+    //  * 2 vs 8 executors (8 -> 32 cores) — saturates the box; judged
+    //    against the no-Spark machine ceiling probe.
+    val clMasters = Seq("local-cluster[1,4,8192]", "local-cluster[4,4,8192]",
+      "local-cluster[2,4,8192]", "local-cluster[8,4,8192]")
+    def clZeroes = clMasters.map(_ => (1.0, 1L, 1.0, 1.0))
+    val cl1 = if (skipScaling) clZeroes else clMasters.map(kernelInSubprocess(_, scaleCfg))
+    val cl2 = if (skipScaling) clZeroes else clMasters.map(kernelInSubprocess(_, scaleCfg))
     val clBest = cl1.zip(cl2).map { case (a, b) => if (a._1 <= b._1) a else b }
     val n8 = round1(1)._2
     val n32 = round1(2)._2
@@ -280,9 +295,12 @@ object Bench {
     val effDedup832 = best(1)._4 / best(2)._4 / 4.0
     val ceilMap832 = pm8 / pm32 / 4.0
     val ceilShuffle832 = ps8 / ps32 / 4.0
-    // executor-JVM axis throughputs + efficiency
-    val clThr8 = n32 / clBest(0)._1
-    val clThr32 = n32 / clBest(1)._1
+    // executor-JVM axis throughputs + efficiencies
+    val clThr1x4 = n32 / clBest(0)._1
+    val clThr4x4 = n32 / clBest(1)._1
+    val effClExec14 = (clThr4x4 / clThr1x4) / 4.0 // N -> 4N executors
+    val clThr8 = n32 / clBest(2)._1
+    val clThr32 = n32 / clBest(3)._1
     val effCl832 = (clThr32 / clThr8) / 4.0
 
     // ---- per-query timings + end-to-end fixture crawl at round parallelism
@@ -290,16 +308,36 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
-      // end-to-end crawl (includes commit overhead — reported separately)
-      val crawlT0 = System.nanoTime()
-      val store = new TableStore(spark,
-        java.nio.file.Files.createTempDirectory("bench-crawl").toString)
-      val sched = new Scheduler(spark, store, CrawlConfig())
-      sched.bootstrap(
-        Fixtures.pagesDF(spark, Fixtures.staticSitePages),
-        Fixtures.sourcesDF(spark, Fixtures.staticSiteSources))
-      sched.run(maxWaves = 40)
-      timings += "crawl_fixture_e2e" -> (System.nanoTime() - crawlT0) / 1e9
+      // end-to-end crawl (includes commit overhead — reported separately).
+      // Conf scoped to the phase: the fixture crawl's shuffles carry O(100)
+      // rows, so it runs at toy-scale shuffle parallelism with Spark-default
+      // AQE coalescing (what CrawlDemo uses, and what a real deployment's
+      // AQE would pick for deltas this small); the session-level 32-partition
+      // / coalescing-off layout below belongs to the sf-scale CATALOG
+      // queries. Methodology matches the per-query discipline: one untimed
+      // warmup run (JIT for the whole scheduler path — the wave loop is
+      // driver-latency-bound and this box's ambient latency drifts ±2x
+      // between JVM launches), then min of 2 timed runs, fresh state dir
+      // each, so the committed number measures the engine, not the
+      // hypervisor's mood.
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      def crawlOnce(): Double = {
+        val t0 = System.nanoTime()
+        val store = new TableStore(spark,
+          java.nio.file.Files.createTempDirectory("bench-crawl").toString)
+        val sched = new Scheduler(spark, store, CrawlConfig())
+        sched.bootstrap(
+          Fixtures.pagesDF(spark, Fixtures.staticSitePages),
+          Fixtures.sourcesDF(spark, Fixtures.staticSiteSources))
+        sched.run(maxWaves = 40)
+        (System.nanoTime() - t0) / 1e9
+      }
+      crawlOnce() // warmup
+      timings += "crawl_fixture_e2e" -> math.min(crawlOnce(), crawlOnce())
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus.toString))
 
       // per-query methodology (round-2 finding #4: one shared-JVM cold run
       // per query produced ~10x phantom regressions on unchanged queries —
@@ -310,7 +348,7 @@ object Bench {
       // sub-second time; CORRECTNESS gates failures separately, but the
       // bench artifact must not mislabel them).
       SparkEntry.queries.foreach { case (name, fn) =>
-        if (!name.startsWith("crawl")) {
+        if (!name.startsWith("crawl") && !skipQueries) {
           def once(): Either[Throwable, Double] = {
             val t0 = System.nanoTime()
             try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
@@ -331,6 +369,6 @@ object Bench {
     val qs = (timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" } ++
       errors.map(k => "\"" + k + "\":\"err\"")).mkString("{", ",", "}")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","scaling":{"kernel_urls":$n32,"t_local2_sec":$t2%.2f,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n2_to_4n8":$eff28%.3f,"efficiency_n8_to_4n32":$eff832%.3f,"efficiency_n_to_4n":$efficiency%.3f,"cluster_exec_8_32":{"t_2x4core_execs_sec":${clBest(0)._1}%.2f,"t_8x4core_execs_sec":${clBest(1)._1}%.2f,"thr_2x4":$clThr8%.1f,"thr_8x4":$clThr32%.1f,"efficiency_n8_to_4n32_execjvms":$effCl832%.3f},"phase_8_32":{"kernel_map_eff":$effMap832%.3f,"kernel_dedup_eff":$effDedup832%.3f,"t8_map":${best(1)._3}%.2f,"t8_dedup":${best(1)._4}%.2f,"t32_map":${best(2)._3}%.2f,"t32_dedup":${best(2)._4}%.2f},"machine_ceiling_8_32":{"probe_map_eff":$ceilMap832%.3f,"probe_shuffle_eff":$ceilShuffle832%.3f,"probe_map_t8":$pm8%.2f,"probe_map_t32":$pm32%.2f,"probe_shuffle_t8":$ps8%.2f,"probe_shuffle_t32":$ps32%.2f,"kernel_vs_ceiling_map":${effMap832 / ceilMap832}%.3f,"kernel_vs_ceiling_dedup":${effDedup832 / ceilShuffle832}%.3f}}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","scaling":{"kernel_urls":$n32,"t_local2_sec":$t2%.2f,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n2_to_4n8":$eff28%.3f,"efficiency_n8_to_4n32":$eff832%.3f,"efficiency_n_to_4n":$efficiency%.3f,"cluster_exec_1_4":{"t_1x4core_exec_sec":${clBest(0)._1}%.2f,"t_4x4core_execs_sec":${clBest(1)._1}%.2f,"thr_1x4":$clThr1x4%.1f,"thr_4x4":$clThr4x4%.1f,"efficiency_n_to_4n_executors":$effClExec14%.3f},"cluster_exec_8_32":{"t_2x4core_execs_sec":${clBest(2)._1}%.2f,"t_8x4core_execs_sec":${clBest(3)._1}%.2f,"thr_2x4":$clThr8%.1f,"thr_8x4":$clThr32%.1f,"efficiency_n8_to_4n32_execjvms":$effCl832%.3f},"phase_8_32":{"kernel_map_eff":$effMap832%.3f,"kernel_dedup_eff":$effDedup832%.3f,"t8_map":${best(1)._3}%.2f,"t8_dedup":${best(1)._4}%.2f,"t32_map":${best(2)._3}%.2f,"t32_dedup":${best(2)._4}%.2f},"machine_ceiling_8_32":{"probe_map_eff":$ceilMap832%.3f,"probe_shuffle_eff":$ceilShuffle832%.3f,"probe_map_t8":$pm8%.2f,"probe_map_t32":$pm32%.2f,"probe_shuffle_t8":$ps8%.2f,"probe_shuffle_t32":$ps32%.2f,"kernel_vs_ceiling_map":${effMap832 / ceilMap832}%.3f,"kernel_vs_ceiling_dedup":${effDedup832 / ceilShuffle832}%.3f}}}""")
   }
 }

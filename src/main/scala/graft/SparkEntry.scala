@@ -817,6 +817,21 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"), docText.as("text")),
         bench, n = 8)
     }),
+    // T13: Gopher-style quality gate — the real document text supplies the
+    // word/stopword/symbol signals; planted line suffixes keyed on doc_id%3
+    // exercise the bullet and ellipsis line rules. The oracle recomputes
+    // every signal independently with DuckDB list lambdas — no
+    // implementation-derived literals
+    "t13_gopher_quality" -> ((s, d) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\n- bullet item one\n- bullet item two"))
+          .when(col("doc_id") % 3 === 1,
+            lit("\nthis trails off...\nand more..."))
+          .otherwise(lit("")))
+      TextAnalysis.gopherSignals(
+        t(s, d, "documents").select(col("doc_id"), planted.as("text")))
+    }),
     // D11: the full MinHash dedup pipeline a corpus actually runs — LSH
     // candidate pairs → connected components → keep-one-per-cluster. Planted
     // clusters are the d2 quadruples (doc_id//4 share 24/26 vocab), so the
@@ -1060,6 +1075,35 @@ object SparkEntry {
     // the doc_id%5==0 docs occur in the benchmark phrase
     "t12_decontamination" ->
       "SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 0 END AS n_contaminated, doc_id % 5 = 0 AS contaminated FROM documents",
+    // independent Gopher-signal recomputation: DuckDB list lambdas over the
+    // same planted text (regexp split, list_filter/list_transform,
+    // list_intersect — engine-native, shares no code with the Spark side)
+    "t13_gopher_quality" ->
+      ("WITH planted AS (SELECT doc_id, text || CASE " +
+        "WHEN doc_id % 3 = 0 THEN chr(10) || '- bullet item one' || chr(10) || '- bullet item two' " +
+        "WHEN doc_id % 3 = 1 THEN chr(10) || 'this trails off...' || chr(10) || 'and more...' " +
+        "ELSE '' END AS t FROM documents), " +
+        "sig AS (SELECT doc_id, t, " +
+        "CASE WHEN length(trim(t)) = 0 THEN CAST([] AS VARCHAR[]) ELSE regexp_split_to_array(trim(t), '\\s+') END AS words, " +
+        "list_filter(string_split(t, chr(10)), l -> length(trim(l)) > 0) AS lines FROM planted), " +
+        "sig2 AS (SELECT doc_id, t, words, lines, len(words) AS nw, len(lines) AS nl, " +
+        "length(t) - length(replace(t, '#', '')) AS nhash, " +
+        "(length(t) - length(replace(t, '...', ''))) / 3 AS nell FROM sig) " +
+        "SELECT doc_id, CAST(nw AS BIGINT) AS g_words, " +
+        "CASE WHEN nw > 0 THEN round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / nw, 4) ELSE 0.0 END AS g_mean_wlen, " +
+        "CASE WHEN nw > 0 THEN round(CAST(nhash + nell AS DOUBLE) / nw, 4) ELSE 0.0 END AS g_symbol_ratio, " +
+        "CASE WHEN nl > 0 THEN round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / nl, 4) ELSE 0.0 END AS g_bullet_frac, " +
+        "CASE WHEN nl > 0 THEN round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE) / nl, 4) ELSE 0.0 END AS g_ellipsis_frac, " +
+        "CASE WHEN nw > 0 THEN round(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / nw, 4) ELSE 0.0 END AS g_alpha_frac, " +
+        "CAST(len(list_intersect(list_transform(words, w -> lower(w)), ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS g_stops, " +
+        "(nw BETWEEN 50 AND 100000) AND " +
+        "(CASE WHEN nw > 0 THEN round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / nw, 4) ELSE 0.0 END BETWEEN 3.0 AND 10.0) AND " +
+        "(CASE WHEN nw > 0 THEN round(CAST(nhash + nell AS DOUBLE) / nw, 4) ELSE 0.0 END <= 0.1) AND " +
+        "(CASE WHEN nl > 0 THEN round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / nl, 4) ELSE 0.0 END <= 0.9) AND " +
+        "(CASE WHEN nl > 0 THEN round(CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '\\.\\.\\.$'))) AS DOUBLE) / nl, 4) ELSE 0.0 END <= 0.3) AND " +
+        "(CASE WHEN nw > 0 THEN round(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / nw, 4) ELSE 0.0 END >= 0.8) AND " +
+        "(len(list_intersect(list_transform(words, w -> lower(w)), ['the','be','to','of','and','that','have','with'])) >= 2) AS keep " +
+        "FROM sig2"),
     // planted d2 quadruples are the clusters; keep = min of each
     "d11_minhash_dedup" ->
       "SELECT doc_id - doc_id % 4 AS component_id, min(doc_id) AS keep_id, count(*) AS cluster_size FROM documents GROUP BY 1",

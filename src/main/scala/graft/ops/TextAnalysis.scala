@@ -255,6 +255,60 @@ object TextAnalysis {
         (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix A —
+    * the published repetition/format gate most corpus pipelines run after
+    * line cleaning). Per document: word count bounds, mean word length
+    * bounds, symbol-to-word ratio ("#" or "..."), bullet-line and
+    * ellipsis-line fractions, alphabetic-word fraction, and a minimum
+    * stop-word hit count; `keep` ANDs the canonical thresholds. Every
+    * signal is pure array/length arithmetic over split() results —
+    * codegen'd, no UDF, no shuffle: the gate is embarrassingly parallel
+    * over documents (the property that makes it runnable as a map pass on
+    * a 100 TB corpus). Ratios round to 4 places so the DuckDB oracle can
+    * reproduce them bit-exactly.
+    */
+  def gopherSignals(docs: DataFrame, textCol: String = "text",
+      minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
+    val nWords = when(length(trim(t)) === 0, lit(0L))
+      .otherwise(size(words).cast("long"))
+    val sumWordLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    val meanWlen = when(nWords > 0,
+      round(sumWordLen.cast("double") / nWords, 4)).otherwise(lit(0.0))
+    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val nEllipsis = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3).cast("long")
+    val symbolRatio = when(nWords > 0,
+      round((nHash + nEllipsis).cast("double") / nWords, 4)).otherwise(lit(0.0))
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val bulletFrac = when(nLines > 0,
+      round(size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") / nLines, 4))
+      .otherwise(lit(0.0))
+    val ellipsisFrac = when(nLines > 0,
+      round(size(filter(lines, l => trim(l).rlike("\\.\\.\\.$"))).cast("double") / nLines, 4))
+      .otherwise(lit(0.0))
+    val alphaFrac = when(nWords > 0,
+      round(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords, 4))
+      .otherwise(lit(0.0))
+    val stopSet = array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(lit): _*)
+    val stopHits = size(array_intersect(transform(words, w => lower(w)), stopSet))
+      .cast("long")
+    docs.select(col("doc_id"),
+      nWords.as("g_words"), meanWlen.as("g_mean_wlen"),
+      symbolRatio.as("g_symbol_ratio"), bulletFrac.as("g_bullet_frac"),
+      ellipsisFrac.as("g_ellipsis_frac"), alphaFrac.as("g_alpha_frac"),
+      stopHits.as("g_stops"),
+      (nWords.between(minWords, maxWords) &&
+        meanWlen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 &&
+        bulletFrac <= 0.9 &&
+        ellipsisFrac <= 0.3 &&
+        alphaFrac >= 0.8 &&
+        stopHits >= 2).as("keep"))
+  }
+
   /** Top-k n-grams by frequency (corpus statistics): tokenize, slide an
     * n-window via transform/slice (codegen'd — no UDF), explode, count,
     * global top-k. The orderBy+limit is a TakeOrderedAndProject, so only k

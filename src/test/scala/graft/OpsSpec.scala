@@ -335,6 +335,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Int]("n_kept_lines") == 2)
   }
 
+  test("gopher quality gate: signals and rule thresholds") {
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the of and that" // 64 words, all alphabetic, 4 stopword hits
+    val docs = Seq(
+      (0L, good),                                        // passes every rule
+      (1L, "tiny doc the of"),                           // < 50 words
+      (2L, good + (1 to 19).map(i => s"\n- b$i").mkString + "\nx."), // 19/21 bullet lines > 0.9
+      (3L, good + " " + Seq.fill(20)("#").mkString(" ")) // symbol ratio > 0.1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherSignals(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("keep"))
+    assert(out(0L).getAs[Long]("g_words") == 64L)
+    assert(out(0L).getAs[Long]("g_stops") == 4L)
+    assert(!out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("keep"))
+    assert(out(2L).getAs[Double]("g_bullet_frac") > 0.9)
+    assert(!out(3L).getAs[Boolean]("keep"))
+    assert(out(3L).getAs[Double]("g_symbol_ratio") > 0.1)
+    assert(out(3L).getAs[Double]("g_alpha_frac") < 0.8)
+  }
+
   test("decontamination flags docs sharing an n-gram with the benchmark") {
     val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
     val docs = Seq(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Funcs
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Dedup, Graph, Similarity, TextAnalysis, Multimodal}
 import graft.crawl.{Metadata, Collections, Uncrawlables}
 
 /** Driver contract: the operator catalog (SURVEY.md §2) exposed as named
@@ -867,6 +867,47 @@ object SparkEntry {
           sum(when(col("is_content"), 1L).otherwise(0L)).as("n_content"))
     }),
 
+    // D12: exact-substring duplication stats (Lee et al. EXACTSUBSTR shape)
+    // over planted texts: quadruple clusters share a 24-token prefix (20
+    // five-token windows in common), docs with doc_id%7==0 are rewritten
+    // fully unique (10 tokens, 6 windows, zero shared) — the truth is pure
+    // doc_id arithmetic, so the oracle needs no window hashing
+    "d12_window_dedup" -> ((s, d) => {
+      val text = when(col("doc_id") % 7 === 0,
+        array_join(transform(sequence(lit(0), lit(9)),
+          j => concat(lit("s"), col("doc_id").cast("string"), lit("q"),
+            j.cast("string"))), " "))
+        .otherwise(corpusText(col("doc_id")))
+      TextAnalysis.windowDedupStats(
+        t(s, d, "documents").select(col("doc_id"), text.as("text")), n = 5)
+    }),
+
+    // ---------------- link-graph analytics (ops/Graph.scala) over a
+    // synthesized sink-free edge list: src=doc_id, dst=(doc_id+j*j)%N for
+    // j in 1..(1+doc_id%3) — out-degrees 1..3, every node reached via the
+    // j=1 bijection, all reconstructable by pure doc_id arithmetic in SQL
+    "g1_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(nDf)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), (lit(1) + col("doc_id") % 3).cast("int"))).as("j"),
+          col("n"))
+        .select(col("src"), ((col("src") + col("j") * col("j")) % col("n")).as("dst"))
+      Graph.pageRankScaled(edges, iters = 5)
+    }),
+    "g2_crawl_depth" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(nDf)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), (lit(1) + col("doc_id") % 3).cast("int"))).as("j"),
+          col("n"))
+        .select(col("src"), ((col("src") + col("j") * col("j")) % col("n")).as("dst"))
+      Graph.crawlDepth(edges, docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("id")), maxDepth = 6)
+    }),
+
     // ---------------- crawl-native operators (no SQL twin; rows-only)
     "f1_normalize" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -1109,6 +1150,28 @@ object SparkEntry {
       "SELECT doc_id - doc_id % 4 AS component_id, min(doc_id) AS keep_id, count(*) AS cluster_size FROM documents GROUP BY 1",
     "d8_url_canonical_dedup" ->
       s"SELECT ${urlsSql.replace("doc_id", "(doc_id - doc_id % 3)")} AS canonical, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1",
+    "d12_window_dedup" ->
+      ("SELECT doc_id, CAST(CASE WHEN doc_id % 7 = 0 THEN 6 ELSE 21 END AS BIGINT) AS n_windows, " +
+        "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 20 END AS BIGINT) AS n_dup_windows FROM documents"),
+    // exact-integer PageRank twin: S_{k+1}(v) = 18*120^k + sum (102/d_u)*S_k(u)
+    // (derivation in ops/Graph.scala scaladoc); five unrolled iterations
+    "g1_pagerank" ->
+      ("WITH e AS (SELECT DISTINCT doc_id AS src, (doc_id + j*j) % (SELECT count(*) FROM documents) AS dst " +
+        "FROM documents, (SELECT unnest(range(1,4)) AS j) js WHERE j <= 1 + doc_id % 3), " +
+        "we AS (SELECT src, dst, 102 // (count(*) OVER (PARTITION BY src)) AS w FROM e), " +
+        "r0 AS (SELECT doc_id AS id, CAST(1 AS BIGINT) AS s FROM documents), " +
+        "r1 AS (SELECT we.dst AS id, CAST(18 + sum(we.w * r0.s) AS BIGINT) AS s FROM we JOIN r0 ON r0.id = we.src GROUP BY we.dst), " +
+        "r2 AS (SELECT we.dst AS id, CAST(2160 + sum(we.w * r1.s) AS BIGINT) AS s FROM we JOIN r1 ON r1.id = we.src GROUP BY we.dst), " +
+        "r3 AS (SELECT we.dst AS id, CAST(259200 + sum(we.w * r2.s) AS BIGINT) AS s FROM we JOIN r2 ON r2.id = we.src GROUP BY we.dst), " +
+        "r4 AS (SELECT we.dst AS id, CAST(31104000 + sum(we.w * r3.s) AS BIGINT) AS s FROM we JOIN r3 ON r3.id = we.src GROUP BY we.dst), " +
+        "r5 AS (SELECT we.dst AS id, CAST(3732480000 + sum(we.w * r4.s) AS BIGINT) AS s FROM we JOIN r4 ON r4.id = we.src GROUP BY we.dst) " +
+        "SELECT id, s AS s_rank FROM r5"),
+    "g2_crawl_depth" ->
+      ("WITH RECURSIVE e AS (SELECT DISTINCT doc_id AS src, (doc_id + j*j) % (SELECT count(*) FROM documents) AS dst " +
+        "FROM documents, (SELECT unnest(range(1,4)) AS j) js WHERE j <= 1 + doc_id % 3), " +
+        "bfs(id, depth) AS (SELECT doc_id, 0 FROM documents WHERE doc_id < 3 " +
+        "UNION SELECT e.dst, bfs.depth + 1 FROM bfs JOIN e ON e.src = bfs.id WHERE bfs.depth < 6) " +
+        "SELECT id, min(depth) AS depth FROM bfs GROUP BY id"),
     // pinned golden rows from the deterministic fixture crawl (the
     // crawl engine surfaced through the oracle gate as VALUES literals)
     "crawl1_fixture_urls" ->

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the crawl's `links` table — the ranking and
+  * reachability passes a crawler actually runs on its own edge list
+  * (frontier prioritization, seed-distance auditing). The reference stores
+  * the link graph (core/link.go:20-31, PK (src,dst)) but never ranks it;
+  * these are the beyond-reference ops a 100 TB corpus needs.
+  *
+  * Both algorithms are Pregel-style DataFrame iterations: each round is a
+  * shuffle-on-key join + groupBy over the edge list, driver state is a
+  * scalar per round, and `localCheckpoint` truncates the growing lineage
+  * (the same treatment as [[Dedup.connectedComponents]]). Nothing here
+  * collects a node or edge list to the driver.
+  */
+object Graph {
+
+  /** Standard damped PageRank over directed edges (src, dst), double
+    * precision. Dangling mass (rank parked on zero-out-degree nodes) is
+    * redistributed uniformly each round, so ranks always sum to 1.
+    *
+    * Scale shape: per iteration one join of ranks against the edge list
+    * (shuffle on src) and one groupBy(dst) sum (shuffle on dst) — both key
+    * on node id, so bucketing the edge list by src co-locates the probe
+    * side across iterations. The dangling term is a single scalar agg per
+    * round (one tiny job, standard for distributed PageRank).
+    *
+    * Returns (id, rank). Float sums are shuffle-order-dependent in the last
+    * ulps, so this version is spec-gated; the cross-engine oracle gates
+    * [[pageRankScaled]], the exact-integer twin with the identical plan
+    * shape, and GraphSpec ties the two together on the fixture.
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    // weighted edges: contribution fraction carried per edge
+    val we = e.join(deg, Seq("src")).localCheckpoint(true)
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = we.join(ranks, we("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("rank") / col("d")).as("c"))
+        .groupBy("id").agg(sum("c").as("in_rank"))
+      // rank parked on sinks this round (nodes with no out-edges)
+      val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * (coalesce(col("in_rank"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Exact-integer PageRank twin of [[pageRank]] for cross-engine
+    * verification: damping fixed at 17/20 and ranks kept as scaled
+    * integers, so every engine computes bit-identical results regardless of
+    * shuffle order (double sums differ in the last ulps between engines;
+    * integers cannot).
+    *
+    * Derivation: with r_0 = 1/N and r_{k+1}(v) = 3/(20N) + (17/20) *
+    * sum_{u->v} r_k(u)/d_u, define S_k = r_k * N * 120^k. Then S_0 = 1 and
+    *   S_{k+1}(v) = 18 * 120^k + sum_{u->v} (102 / d_u) * S_k(u),
+    * which is exact in integer arithmetic whenever every out-degree divides
+    * 102 (d in {1,2,3,6,17,...}) — asserted on input. 102/d is the per-edge
+    * weight, precomputed once; the plan per iteration (edge join on src,
+    * groupBy dst, sum) is identical to the double version's.
+    *
+    * No dangling handling: requires every node to have an out-edge
+    * (asserted) — the verification fixtures are sink-free by construction.
+    * Returns (id, s_rank) with r_k = s_rank / (N * 120^k). Magnitude after
+    * k rounds is ~120^k * (N * r_k), so k <= 8 stays far inside Long/BIGINT.
+    */
+  def pageRankScaled(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters <= 8, s"scaled ranks overflow past 8 iterations (got $iters)")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val badDeg = deg.filter(lit(102) % col("d") =!= 0).limit(1).count()
+    require(badDeg == 0, "pageRankScaled requires every out-degree to divide 102")
+    val sinkCount = nodes.join(deg, nodes("id") === deg("src"), "left_anti").count()
+    require(sinkCount == 0, s"pageRankScaled requires a sink-free graph ($sinkCount sinks)")
+    val we = e.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(102L) / col("d")).cast("long").as("w"))
+      .localCheckpoint(true)
+
+    var ranks = nodes.withColumn("s", lit(1L)).localCheckpoint(true)
+    var unit = 1L // 120^k: the teleport term 18 * 120^k
+    for (_ <- 1 to iters) {
+      val contribs = we.join(ranks, we("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("w") * col("s")).as("c"))
+        .groupBy("id").agg(sum("c").as("in_s"))
+      // sink-free + (src+1) %N-style fixtures leave no node without
+      // in-edges, but stay total anyway: teleport term applies to all nodes
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(18L * unit) + coalesce(col("in_s"), lit(0L))).as("s"))
+        .localCheckpoint(true)
+      unit *= 120L
+    }
+    ranks.select(col("id"), col("s").as("s_rank"))
+  }
+
+  /** Crawl depth: minimum hop distance from a seed set along directed
+    * edges, capped at `maxDepth` (BFS by frontier expansion — the audit
+    * pass "how deep did the crawl get from its seeds", and the standard
+    * prioritization feature for frontier scheduling).
+    *
+    * Each round expands the newly-reached frontier one hop (join on src,
+    * shuffle on node id) and anti-joins against the visited set; rounds are
+    * bounded by maxDepth, every frame is localCheckpointed, and the only
+    * driver state is the frontier's emptiness flag. Output: (id, depth) for
+    * every node reachable within maxDepth hops (seeds at depth 0) —
+    * deterministic integers at any parallelism.
+    */
+  def crawlDepth(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint(true)
+    var visited = seeds.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("depth", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var d = 0
+    while (d < maxDepth && !frontier.isEmpty) {
+      d += 1
+      frontier = e.join(frontier, e("src") === frontier("id"))
+        .select(e("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("depth", lit(d))
+        .localCheckpoint(true)
+      visited = visited.unionByName(frontier).localCheckpoint(true)
+    }
+    visited
+  }
+}

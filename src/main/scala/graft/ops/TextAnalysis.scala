@@ -309,6 +309,37 @@ object TextAnalysis {
         stopHits >= 2).as("keep"))
   }
 
+  /** Exact-substring duplication stats (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the EXACTSUBSTR pass):
+    * for each document, how many of its n-token windows also occur in some
+    * OTHER document. Lee et al. build a corpus suffix array; the Spark-first
+    * equivalent hashes every n-token window (codegen'd transform/slice, no
+    * UDF), explodes to narrow (doc_id, hash) rows, and group-counts distinct
+    * documents per window — three shuffles that all carry two longs per row,
+    * the bucketable-by-hash shape that scales to a 100 TB corpus where a
+    * monolithic suffix array cannot be built.
+    *
+    * Returns (doc_id, n_windows, n_dup_windows): distinct window hashes in
+    * the doc, and how many of them appear in >= 2 distinct documents.
+    * Deterministic integers at any parallelism (the downstream gate is
+    * typically n_dup_windows / n_windows > threshold). */
+  def windowDedupStats(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    val wh = when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))))
+      .otherwise(array().cast("array<bigint>"))
+    val win = docs.select(col("doc_id"), explode(wh).as("w"))
+    val dupW = win.groupBy("w").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+      .select("w")
+    val perDoc = win.join(dupW, Seq("w"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_windows"))
+    docs.select(col("doc_id"), size(wh).as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows").cast("long").as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
   /** Top-k n-grams by frequency (corpus statistics): tokenize, slide an
     * n-window via transform/slice (codegen'd — no UDF), explode, count,
     * global top-k. The orderBy+limit is a TakeOrderedAndProject, so only k

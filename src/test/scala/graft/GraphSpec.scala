@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Link-graph analytics: double PageRank vs a driver-side reference, the
+  * exact-integer twin tied to the double version, BFS crawl depth vs a
+  * driver-side BFS on a random graph. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Deterministic pseudo-random digraph: 40 nodes, out-degree 1..3 with
+    * degree pattern id%3, edges by modular arithmetic (sink-free: j=1 is a
+    * bijection). Same family as the catalog fixture, small enough to solve
+    * on the driver. */
+  private val n = 40
+  private lazy val edgeList: Seq[(Long, Long)] =
+    (0 until n).flatMap { src =>
+      (1 to 1 + src % 3).map(j => (src.toLong, ((src + j * j) % n).toLong))
+    }
+  private lazy val edges = edgeList.toDF("src", "dst")
+
+  /** Driver-side reference PageRank (damping 0.85, no dangling nodes). */
+  private def refRanks(iters: Int): Map[Long, Double] = {
+    val out = edgeList.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var r = (0 until n).map(i => i.toLong -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      out.foreach { case (u, ds) => ds.foreach(v => in(v) += r(u) / ds.size) }
+      r = (0 until n).map(i => i.toLong -> (0.15 / n + 0.85 * in(i.toLong))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches driver-side reference and sums to 1") {
+    val got = Graph.pageRank(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refRanks(5)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, v) => assert(math.abs(v - want(id)) < 1e-12, s"node $id") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank redistributes dangling mass (ranks still sum to 1)") {
+    // 0->1->2, 2 is a sink
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, iters = 10).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    assert(r(2L) > r(1L) && r(1L) > r(0L)) // downstream accumulates
+  }
+
+  test("pageRankScaled is the exact twin: s_rank / (N * 120^k) == pageRank") {
+    val scaled = Graph.pageRankScaled(edges, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dbl = refRanks(5)
+    val denom = n.toDouble * math.pow(120.0, 5)
+    assert(scaled.keySet == dbl.keySet)
+    scaled.foreach { case (id, s) =>
+      assert(math.abs(s / denom - dbl(id)) < 1e-12, s"node $id")
+    }
+    // total mass is exactly N * 120^k (rank total exactly 1, integer-exact)
+    assert(scaled.values.sum == n.toLong * 120L * 120L * 120L * 120L * 120L)
+  }
+
+  test("pageRankScaled rejects sinks and non-dividing degrees") {
+    val sink = Seq((0L, 1L)).toDF("src", "dst") // node 1 has no out-edge
+    intercept[IllegalArgumentException](Graph.pageRankScaled(sink, 2))
+    val deg4 = (0 until 8).flatMap(s => (1 to 4).map(j => (s.toLong, ((s + j) % 8).toLong)))
+      .toDF("src", "dst") // out-degree 4 does not divide 102
+    intercept[IllegalArgumentException](Graph.pageRankScaled(deg4, 2))
+  }
+
+  test("crawlDepth matches driver-side BFS with depth cap") {
+    val seeds = Seq(0L, 7L).toDF("id")
+    val cap = 4
+    val got = Graph.crawlDepth(edges, seeds, maxDepth = cap).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // driver BFS
+    val adj = edgeList.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = Map(0L -> 0, 7L -> 0)
+    var frontier = Set(0L, 7L)
+    for (d <- 1 to cap) {
+      val next = frontier.flatMap(u => adj.getOrElse(u, Nil)).filterNot(dist.contains)
+      dist = dist ++ next.map(_ -> d)
+      frontier = next
+    }
+    assert(got == dist)
+  }
+
+  test("crawlDepth terminates early when the frontier empties") {
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = Graph.crawlDepth(e, Seq(0L).toDF("id"), maxDepth = 50).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2))
+  }
+}

@@ -373,6 +373,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, false)))
   }
 
+  test("window dedup stats count shared n-token windows across docs") {
+    val docs = Seq(
+      (0L, "a b c d e f x0"), // shares windows over "a b c d e f" with doc 1
+      (1L, "a b c d e f x1"),
+      (2L, "p q r s t u v"), // no partner
+      (3L, "tiny")) // fewer tokens than n
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.windowDedupStats(docs, n = 3).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // 7 tokens -> 5 windows; docs 0/1 share the 4 windows inside "a b c d e f"
+    assert(out(0L) == ((5L, 4L)))
+    assert(out(1L) == ((5L, 4L)))
+    assert(out(2L) == ((5L, 0L)))
+    assert(out(3L) == ((0L, 0L)))
+  }
+
   test("quality signals arithmetic") {
     val docs = Seq((0L, "aa bb cc"), (1L, ""), (2L, "single")).toDF("doc_id", "text")
     val rows = TextAnalysis.qualitySignals(docs).collect()

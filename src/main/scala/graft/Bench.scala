@@ -250,7 +250,12 @@ object Bench {
     // is measured in TWO interleaved JVMs and the per-level minimum is kept
     // — interleaving means slow machine phases hit all levels alike instead
     // of biasing one ratio.
-    val masters = Seq("local[2]", "local[8]", "local[32]")
+    // local[4]/local[16] are the THREAD twin of the 1-vs-4-executor axis:
+    // same 4 -> 16 core span, no process-separated shuffles — the delta
+    // between efficiency_n4_to_4n16 (threads) and the executor-JVM number
+    // is the serialization tax of real inter-process shuffles, and the
+    // thread number bounds what this box's memory bus allows on that span.
+    val masters = Seq("local[2]", "local[4]", "local[8]", "local[16]", "local[32]")
     def zeroes = masters.map(_ => (1.0, 1L, 1.0, 1.0))
     val round1 = if (skipScaling) zeroes else masters.map(kernelInSubprocess(_, scaleCfg))
     // no-Spark machine ceiling measured BETWEEN the kernel rounds of the
@@ -260,7 +265,7 @@ object Bench {
     val probe = if (skipScaling) (1.0, 1.0, 1.0, 1.0) else probeInSubprocess()
     val round2 = if (skipScaling) zeroes else masters.map(kernelInSubprocess(_, scaleCfg))
     val best = round1.zip(round2).map { case (a, b) => if (a._1 <= b._1) a else b }
-    val Seq(t2, t8, t32) = best.map(_._1)
+    val Seq(t2, t4, t8, t16, t32) = best.map(_._1)
 
     // ---- the same 8→32 axis with REAL separate executor JVMs: 2 vs 8
     // standalone executors, each pinned to 4 cores + its own 8g heap + GC
@@ -281,18 +286,21 @@ object Bench {
     val cl1 = if (skipScaling) clZeroes else clMasters.map(kernelInSubprocess(_, scaleCfg))
     val cl2 = if (skipScaling) clZeroes else clMasters.map(kernelInSubprocess(_, scaleCfg))
     val clBest = cl1.zip(cl2).map { case (a, b) => if (a._1 <= b._1) a else b }
-    val n8 = round1(1)._2
-    val n32 = round1(2)._2
+    val n8 = round1(2)._2
+    val n32 = round1(4)._2
     val thr2 = n8 / t2
+    val thr4 = n8 / t4
     val thr8 = n8 / t8
+    val thr16 = n8 / t16
     val thr32 = n32 / t32
     val eff28 = (thr8 / thr2) / 4.0   // N=2 -> 4N=8 cores: clean axis
+    val eff416 = (thr16 / thr4) / 4.0 // 4 -> 16: thread twin of 1v4 execs
     val eff832 = (thr32 / thr8) / 4.0 // 8 -> 32: saturates the single box
     val efficiency = eff28
     // per-phase 8→32 efficiencies vs the matching no-Spark phase ceilings
     val (pm8, pm32, ps8, ps32) = probe
-    val effMap832 = best(1)._3 / best(2)._3 / 4.0
-    val effDedup832 = best(1)._4 / best(2)._4 / 4.0
+    val effMap832 = best(2)._3 / best(4)._3 / 4.0
+    val effDedup832 = best(2)._4 / best(4)._4 / 4.0
     val ceilMap832 = pm8 / pm32 / 4.0
     val ceilShuffle832 = ps8 / ps32 / 4.0
     // executor-JVM axis throughputs + efficiencies
@@ -303,11 +311,18 @@ object Bench {
     val clThr32 = n32 / clBest(3)._1
     val effCl832 = (clThr32 / clThr8) / 4.0
 
-    // ---- per-query timings + end-to-end fixture crawl at round parallelism
-    val spark = session(s"local[$cpus]", cpus)
+    // ---- per-query timings + end-to-end fixture crawl at round parallelism.
+    // The e2e crawl and the catalog queries run in SEPARATE SparkSessions:
+    // three full crawls (warmup + 2 timed) leave ~100 localCheckpointed
+    // RDDs + shuffle state in a shared session, and the first catalog
+    // queries after them paid the cleanup as ~100x phantom regressions
+    // (observed: a6 0.25s -> 25s). A fresh context per phase measures each
+    // phase's own work.
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sparkE2e = session(s"local[$cpus]", cpus)
     try {
+      val spark = sparkE2e
       // end-to-end crawl (includes commit overhead — reported separately).
       // Conf scoped to the phase: the fixture crawl's shuffles carry O(100)
       // rows, so it runs at toy-scale shuffle parallelism with Spark-default
@@ -335,10 +350,10 @@ object Bench {
       }
       crawlOnce() // warmup
       timings += "crawl_fixture_e2e" -> math.min(crawlOnce(), crawlOnce())
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      spark.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus.toString))
+    } finally sparkE2e.stop()
 
+    val spark = session(s"local[$cpus]", cpus)
+    try {
       // per-query methodology (round-2 finding #4: one shared-JVM cold run
       // per query produced ~10x phantom regressions on unchanged queries —
       // JIT/codegen + FS-cache state depended on suite order): one untimed
@@ -369,6 +384,6 @@ object Bench {
     val qs = (timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" } ++
       errors.map(k => "\"" + k + "\":\"err\"")).mkString("{", ",", "}")
     println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","scaling":{"kernel_urls":$n32,"t_local2_sec":$t2%.2f,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n2_to_4n8":$eff28%.3f,"efficiency_n8_to_4n32":$eff832%.3f,"efficiency_n_to_4n":$efficiency%.3f,"cluster_exec_1_4":{"t_1x4core_exec_sec":${clBest(0)._1}%.2f,"t_4x4core_execs_sec":${clBest(1)._1}%.2f,"thr_1x4":$clThr1x4%.1f,"thr_4x4":$clThr4x4%.1f,"efficiency_n_to_4n_executors":$effClExec14%.3f},"cluster_exec_8_32":{"t_2x4core_execs_sec":${clBest(2)._1}%.2f,"t_8x4core_execs_sec":${clBest(3)._1}%.2f,"thr_2x4":$clThr8%.1f,"thr_8x4":$clThr32%.1f,"efficiency_n8_to_4n32_execjvms":$effCl832%.3f},"phase_8_32":{"kernel_map_eff":$effMap832%.3f,"kernel_dedup_eff":$effDedup832%.3f,"t8_map":${best(1)._3}%.2f,"t8_dedup":${best(1)._4}%.2f,"t32_map":${best(2)._3}%.2f,"t32_dedup":${best(2)._4}%.2f},"machine_ceiling_8_32":{"probe_map_eff":$ceilMap832%.3f,"probe_shuffle_eff":$ceilShuffle832%.3f,"probe_map_t8":$pm8%.2f,"probe_map_t32":$pm32%.2f,"probe_shuffle_t8":$ps8%.2f,"probe_shuffle_t32":$ps32%.2f,"kernel_vs_ceiling_map":${effMap832 / ceilMap832}%.3f,"kernel_vs_ceiling_dedup":${effDedup832 / ceilShuffle832}%.3f}}}""")
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","scaling":{"kernel_urls":$n32,"t_local2_sec":$t2%.2f,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n2_to_4n8":$eff28%.3f,"efficiency_n8_to_4n32":$eff832%.3f,"efficiency_n_to_4n":$efficiency%.3f,"cluster_exec_1_4":{"t_1x4core_exec_sec":${clBest(0)._1}%.2f,"t_4x4core_execs_sec":${clBest(1)._1}%.2f,"thr_1x4":$clThr1x4%.1f,"thr_4x4":$clThr4x4%.1f,"efficiency_n_to_4n_executors":$effClExec14%.3f},"cluster_exec_8_32":{"t_2x4core_execs_sec":${clBest(2)._1}%.2f,"t_8x4core_execs_sec":${clBest(3)._1}%.2f,"thr_2x4":$clThr8%.1f,"thr_8x4":$clThr32%.1f,"efficiency_n8_to_4n32_execjvms":$effCl832%.3f},"thread_4_16":{"t_local4_sec":$t4%.2f,"t_local16_sec":$t16%.2f,"thr_local4":$thr4%.1f,"thr_local16":$thr16%.1f,"efficiency_n4_to_4n16":$eff416%.3f},"phase_8_32":{"kernel_map_eff":$effMap832%.3f,"kernel_dedup_eff":$effDedup832%.3f,"t8_map":${best(2)._3}%.2f,"t8_dedup":${best(2)._4}%.2f,"t32_map":${best(4)._3}%.2f,"t32_dedup":${best(4)._4}%.2f},"machine_ceiling_8_32":{"probe_map_eff":$ceilMap832%.3f,"probe_shuffle_eff":$ceilShuffle832%.3f,"probe_map_t8":$pm8%.2f,"probe_map_t32":$pm32%.2f,"probe_shuffle_t8":$ps8%.2f,"probe_shuffle_t32":$ps32%.2f,"kernel_vs_ceiling_map":${effMap832 / ceilMap832}%.3f,"kernel_vs_ceiling_dedup":${effDedup832 / ceilShuffle832}%.3f}}}""")
   }
 }

@@ -460,6 +460,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("win.start").as("win_start"), col("event_type"), col("n"))
     }),
+    // event-time sessionization (the mapGroupsWithState/session_window shape
+    // of a streaming deployment, run as its batch twin here): per-user
+    // sessions close after a 30-min gap; window end = last event + gap.
+    // value sums as exact integer cents so the oracle compare never rides
+    // on float association order.
+    "st2_session_window" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("win"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("win.start").as("session_start"),
+          col("win.end").as("session_end"), col("user_id"), col("n"), col("cents"))
+    }),
 
     // ---------------- scalar functions (F3, F6, F9, F11)
     "f3_filename" -> ((s, d) => {
@@ -999,6 +1012,21 @@ object SparkEntry {
       "SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n FROM events",
     "st1_tumbling_window" ->
       "SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
+    // independent gaps-and-islands twin of session_window: a session break
+    // is a >30-min gap from the previous event of the same user
+    "st2_session_window" ->
+      """WITH gapped AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+        |  FROM events),
+        | islands AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM gapped)
+        | SELECT min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |   user_id, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        | FROM islands GROUP BY user_id, sid""".stripMargin.replace("\n", ""),
     "f3_filename" ->
       s"SELECT doc_id, regexp_extract($urlsSql, '[^/]*$$', 0) AS file_name FROM documents",
     "f6_multihash" ->

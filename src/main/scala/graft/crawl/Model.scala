@@ -99,7 +99,15 @@ object Model {
       lane: String,   // A main | B content | C seed  (SURVEY §2.8 T8)
       wave: Long,     // wave the command was enqueued in
       seq: Long,      // global monotone enqueue sequence — per-host FIFO key (iq_slice order)
-      state: String)  // queued | blocked
+      state: String,  // queued | blocked
+      /** Recrawl staleness score, frozen at enqueue time: seconds since the
+        * url's last relevant fetch as of the enqueuing wave (never-fetched =
+        * max). Computed from columns the enqueue path already holds — no
+        * extra join, no take-time scoring pass over the backlog — so the
+        * priority take stays O(budget) at a 10^10-row frontier. Ordering key
+        * only when CrawlConfig.stalenessPriority is set; the default FIFO
+        * ignores it (reference parity: fetchbot queues are FIFO). */
+      prio_score: Long = 0L)
 
   /** Per-host politeness + robots state (fetchbot processChan locals,
     * fetch.go:345-425, lifted into a table so any executor count works). */

@@ -18,6 +18,11 @@ final case class CrawlConfig(
     seedUrlsRefill: Int = 400,   // crawler.go:150
     lowWatermark: Int = 100,     // crawler.go:147
     quiescent: Boolean = true,   // gate re-seeds on staleness so batch runs terminate
+    /** Order each host's takes by recrawl staleness score (most-stale
+      * first, seq tiebreak) instead of pure FIFO — the priority-queue mode
+      * of the north star. Off by default: the reference's fetchbot queues
+      * are FIFO and the golden crawl-order oracles pin that ordering. */
+    stalenessPriority: Boolean = false,
     useBloomPrefilter: Boolean = true, // A9: bloom URL-seen prefilter ahead of the exact anti-join
     bloomExpectedItems: Long = 1L << 20,
     bloomFpp: Double = 0.01,
@@ -135,9 +140,14 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
           df0raw.withColumn("f_wave", coalesce($"f_wave", lit(0L)))
             .withColumn("f_prio", coalesce($"f_prio", lit(0)))
         else df0raw.withColumn("f_wave", lit(0L)).withColumn("f_prio", lit(0))
-      if (stamped.columns.contains("fbucket"))
-        stamped.withColumn("fbucket", coalesce($"fbucket", bucketCol($"url")))
-      else stamped.withColumn("fbucket", bucketCol($"url"))
+      val bucketed =
+        if (stamped.columns.contains("fbucket"))
+          stamped.withColumn("fbucket", coalesce($"fbucket", bucketCol($"url")))
+        else stamped.withColumn("fbucket", bucketCol($"url"))
+      // pre-priority logs score 0 (pure FIFO among themselves)
+      if (bucketed.columns.contains("prio_score"))
+        bucketed.withColumn("prio_score", coalesce($"prio_score", lit(0L)))
+      else bucketed.withColumn("prio_score", lit(0L))
     }
 
   private def frontierMorView(onlyUrl: Option[String]): DataFrame =
@@ -173,8 +183,11 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   private val PrioEnqueued = 4
   private val PrioEvicted = 5
 
+  /** Never-fetched / must-refetch staleness score: outranks any real age. */
+  private val NeverFetchedScore = Long.MaxValue / 2
+
   private def withFrontierMor(df: DataFrame, w: Long, prio: Int): DataFrame =
-    df.select("url", "method", "host", "lane", "wave", "seq", "state")
+    df.select("url", "method", "host", "lane", "wave", "seq", "state", "prio_score")
       .withColumn("f_wave", lit(w)).withColumn("f_prio", lit(prio))
       .withColumn("fbucket", bucketCol(col("url")))
 
@@ -207,7 +220,39 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     * (Iceberg bucket-partition pruning equivalent) BEFORE the dedup window —
     * a wave that touches k urls reads O(k/B * table) rows, not O(table). */
   def urlsViewBuckets(buckets: Option[Seq[Int]]): DataFrame =
-    store.readAppendOnly("urls") match {
+    urlsMorOver(store.readAppendOnly("urls"), buckets)
+
+  /** Time travel (Iceberg VERSION AS OF): the urls MOR view exactly as
+    * committed at `wave` — the same latest-wins read code over the
+    * historical manifest's version list. None if `wave` was never
+    * committed or predates the snapshot log. */
+  def urlsViewAsOf(wave: Long): Option[DataFrame] =
+    store.asOf(wave).map(s => urlsMorOver(s.readAppendOnly("urls"), None))
+
+  /** The committed frontier as of `wave` (time travel over the transition
+    * log: latest-wins re-runs on the historical prefix, so the result is
+    * the exact queue the scheduler saw after that wave's commit). */
+  def frontierViewAsOf(wave: Long): Option[DataFrame] =
+    store.asOf(wave).map { s =>
+      s.readAppendOnly("frontier") match {
+        case None => emptyDF[FrontierRow]
+        case Some(raw) =>
+          val stamped =
+            if (raw.columns.contains("f_wave"))
+              raw.withColumn("f_wave", coalesce($"f_wave", lit(0L)))
+                .withColumn("f_prio", coalesce($"f_prio", lit(0)))
+            else raw.withColumn("f_wave", lit(0L)).withColumn("f_prio", lit(0))
+          val w = Window.partitionBy("url").orderBy(desc("f_wave"), desc("f_prio"))
+          stamped.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1)
+            .drop("rn_", "f_wave", "f_prio")
+            .drop("fbucket")
+            .filter($"state" =!= StateTaken)
+      }
+    }
+
+  private def urlsMorOver(src: Option[DataFrame],
+      buckets: Option[Seq[Int]]): DataFrame =
+    src match {
       case None => emptyDF[UrlRow]
       case Some(df0raw) =>
         // schema backfill on read: url deltas written before the bucketed
@@ -371,7 +416,10 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
           row_number().over(Window.orderBy($"kind", $"ord")).cast("long"))
         .select($"s_url".as("url"), lit("GET").as("method"),
           Funcs.hostUdf($"s_url").as("host"), lit("A").as("lane"),
-          lit(w).as("wave"), $"seq", lit(StateQueued).as("state"))
+          lit(w).as("wave"), $"seq", lit(StateQueued).as("state"),
+          // seeds are stale-by-construction (unfetched, or past the
+          // staleness gate that quiescent mode applies) → max score
+          lit(NeverFetchedScore).as("prio_score"))
 
       // AsUrl Read-or-Save: unseen source roots become url rows
       val creates = srcSeedsGated.select($"s_url".as("url")).distinct()
@@ -502,7 +550,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // forever (handler.go:62-64) — blocked tombstones
     val headBlockedRows = headOk.filter($"ct_base" =!= "text/html")
       .select($"url", $"method", $"host", $"lane", $"wave", $"seq",
-        lit(StateBlocked).as("state"))
+        lit(StateBlocked).as("state"), $"prio_score")
 
     // ---- 6. link extraction first (F9) — HandleGetResponse stores links
     // for every doc GET in all lanes (content_crawler only skips the
@@ -626,7 +674,11 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         when($"suspected", lit("GET")).otherwise(lit("HEAD")).as("method"),
         Funcs.hostUdf($"dst").as("host"),
         when($"suspected", lit("B")).otherwise(lit("A")).as("lane"),
-        $"src_seq".as("ord1"), $"href_idx".cast("long").as("ord2"))
+        $"src_seq".as("ord1"), $"href_idx".cast("long").as("ord2"),
+        // staleness frozen at enqueue: age of the dst's last HEAD (the
+        // freshness signal this path already joined in); never-seen = max
+        coalesce(lit(nowSec) - unix_timestamp($"last_head"),
+          lit(NeverFetchedScore)).as("prio_score"))
 
     // HEAD→GET follow-up (crawler.go:236-252)
     val headFollow = headHtml
@@ -637,7 +689,9 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
           ($"vt".cast("long") + lit(baseEpochSec) - lit(cfg.staleDurationSec)))
       .filter(Funcs.isFetchableUdf($"url") && $"get_stale") // ShouldEnqueueGet
       .select($"url", lit("GET").as("method"), $"host", lit("A").as("lane"),
-        $"seq".as("ord1"), lit(-1L).as("ord2"))
+        $"seq".as("ord1"), lit(-1L).as("ord2"),
+        coalesce(lit(nowSec) - unix_timestamp($"u_last_get"),
+          lit(NeverFetchedScore)).as("prio_score"))
 
     // the `enqued` map check set (crawler.go:27-29): urls still occupying a
     // frontier slot after this wave's takes — all active rows (queued and
@@ -662,7 +716,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       .withColumn("seq", lit((w + 1) * SeqStride + EnqueueOffset) +
         row_number().over(Window.partitionBy($"host").orderBy($"ord1", $"ord2", $"url")).cast("long"))
       .select($"url", $"method", $"host", $"lane", lit(w + 1).as("wave"), $"seq",
-        lit(StateQueued).as("state"))
+        lit(StateQueued).as("state"), $"prio_score")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // this wave's frontier delta: O(seeds + takes + blocks + enqueues)
@@ -671,7 +725,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // by the politeness budget and the wave's link yield)
     val takenRows = budgeted
       .select($"url", $"method", $"host", $"lane", $"wave", $"seq",
-        lit(StateTaken).as("state"))
+        lit(StateTaken).as("state"), $"prio_score")
     val frontierAppends = withFrontierMor(seedRowsCk, w, PrioSeed)
       .unionByName(withFrontierMor(takenRows, w, PrioTaken))
       .unionByName(withFrontierMor(headBlockedRows, w, PrioBlocked))
@@ -856,8 +910,8 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     if (!valid) return false
     val ts = timestamp_seconds(lit(baseEpochSec + (w * cfg.waveWindowSec).toLong))
     val row = Seq((url, "GET", GoUrl.hostOf(url), "C", w,
-        w * SeqStride + (1L << 20), StateQueued))
-      .toDF("url", "method", "host", "lane", "wave", "seq", "state")
+        w * SeqStride + (1L << 20), StateQueued, NeverFetchedScore))
+      .toDF("url", "method", "host", "lane", "wave", "seq", "state", "prio_score")
     // enqued-map check (Read-or-Create): only append the queued transition
     // if the url holds no frontier slot — an O(delta) append, not a rewrite
     val alreadyActive = frontierRowsFor(url).limit(1).count() > 0
@@ -933,7 +987,14 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     * bound collapsed to Long.MaxValue globally when any host had delay 0). */
   private[graft] def politeBudget(queued: DataFrame, hostPlan: DataFrame,
       waveEnd: Double, rankBound: Long): DataFrame = {
-    val wSeq = Window.partitionBy($"host", $"lane").orderBy($"seq")
+    // priority mode ranks each host's queue most-stale-first (score frozen
+    // at enqueue — no take-time scoring join), seq as the deterministic
+    // tiebreak; default is the reference's FIFO. Same WindowGroupLimit
+    // prune either way — only the ORDER inside each host changes.
+    val takeOrder =
+      if (cfg.stalenessPriority) Seq(desc("prio_score"), asc("seq"))
+      else Seq(asc("seq"))
+    val wSeq = Window.partitionBy($"host", $"lane").orderBy(takeOrder: _*)
     val hostPlanNarrow = hostPlan
       .select($"host", $"lane", $"robots_now", $"eff_delay", $"start_vt")
     val joined = queued.join(hostPlanNarrow, Seq("host", "lane"))

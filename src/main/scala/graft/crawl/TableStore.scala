@@ -185,7 +185,12 @@ final class TableStore(spark: SparkSession, rootDir: String) {
     next
   }
 
-  /** Atomically publish all staged versions as wave `wave`. */
+  /** Atomically publish all staged versions as wave `wave`. Besides the
+    * live `_manifest.json` pointer, the same content is written as an
+    * immutable per-wave snapshot file under `_snapshots/` — the Iceberg
+    * snapshot-log equivalent that makes every committed wave time-travel
+    * readable (version dirs are never deleted, only superseded, so a
+    * historical manifest's files are always still present). */
   def commitWave(wave: Long): Unit = {
     val tables = pendingVersions.map { case (t, vs) =>
       s""""$t":[${vs.mkString(",")}]"""
@@ -193,10 +198,115 @@ final class TableStore(spark: SparkSession, rootDir: String) {
     val json = s"""{"wave":$wave,"tables":{$tables}}"""
     val tmp = root.resolve(s"_manifest.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    val snapDir = root.resolve("_snapshots")
+    Files.createDirectories(snapDir)
+    // snapshot file first, live pointer last: a crash between the two
+    // leaves an extra snapshot that the next commit overwrites — never a
+    // live pointer without its history entry
+    Files.write(snapDir.resolve(f"w$wave%012d.json"),
+      json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     committed = pendingVersions
     currentWave = wave
+  }
+
+  /** Committed waves available for time travel (ascending). Pre-snapshot
+    * stores (no `_snapshots/` dir) report only what the live manifest
+    * knows — time travel begins at the first commit after upgrade. */
+  def snapshotWaves: Seq[Long] = {
+    val snapDir = root.resolve("_snapshots")
+    if (!Files.exists(snapDir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(snapDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("w") && s.endsWith(".json") =>
+          s.stripPrefix("w").stripSuffix(".json").toLong }
+        .toSeq.sorted
+    }
+  }
+
+  /** Time-travel read: the table set exactly as committed at `wave`
+    * (Iceberg `VERSION AS OF`). Returns None when `wave` predates the
+    * snapshot log or was never committed. The returned view is read-only —
+    * its reads resolve against the historical manifest's version lists
+    * while sharing this store's files on disk. */
+  def asOf(wave: Long): Option[SnapshotView] = {
+    val p = root.resolve("_snapshots").resolve(f"w$wave%012d.json")
+    if (!Files.exists(p)) None
+    else {
+      val json = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      val tablesPart = json.split("\"tables\":", 2)
+      val entry = "\"([^\"]+)\"\\s*:\\s*\\[([0-9,\\s]*)\\]".r
+      val tables =
+        if (tablesPart.length < 2) Map.empty[String, Seq[Long]]
+        else entry.findAllMatchIn(tablesPart(1)).map { m =>
+          m.group(1) -> m.group(2).split(",").map(_.trim)
+            .filter(_.nonEmpty).map(_.toLong).toSeq
+        }.toMap
+      Some(new SnapshotView(wave, tables))
+    }
+  }
+
+  /** Expire time-travel history (Iceberg `expire_snapshots`): keep the
+    * newest `keepLast` snapshots plus the live manifest, delete older
+    * snapshot files, then delete every version directory no retained
+    * manifest references. Bounds the disk growth that never-deleting
+    * version dirs would otherwise accrue at 10^10-url scale — compaction
+    * makes old deltas redundant, and this reclaims them once they fall out
+    * of the retention window. */
+  def expireSnapshots(keepLast: Int): Unit = {
+    val waves = snapshotWaves
+    val (drop, keep) = waves.splitAt(math.max(0, waves.size - keepLast))
+    val snapDir = root.resolve("_snapshots")
+    drop.foreach(w => Files.deleteIfExists(snapDir.resolve(f"w$w%012d.json")))
+    // versions referenced by any retained snapshot or the live manifest
+    val retained: Map[String, Set[Long]] = {
+      val snaps = keep.flatMap(asOf).map(_.tableVersions) :+ committed.map {
+        case (t, vs) => t -> vs
+      }
+      snaps.flatten.groupBy(_._1).map { case (t, kvs) =>
+        t -> kvs.flatMap(_._2).toSet
+      }
+    }
+    committed.keys.foreach { t =>
+      val tDir = root.resolve(t)
+      if (Files.exists(tDir)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(tDir).iterator().asScala.toSeq.foreach { vd =>
+          val name = vd.getFileName.toString
+          if (name.startsWith("v")) {
+            val v = name.stripPrefix("v").toLong
+            if (!retained.getOrElse(t, Set.empty).contains(v)) {
+              Files.walk(vd).sorted(java.util.Comparator.reverseOrder())
+                .forEach(p => Files.deleteIfExists(p))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** A read-only historical view of the store pinned to one wave's
+    * manifest. MOR reads use the CURRENT union schema cache (a superset of
+    * the historical schema: files missing newer columns backfill them as
+    * nulls, the mergeSchema semantics, so e.g. a pre-`fbucket` frontier
+    * snapshot still reads under the live view code). */
+  final class SnapshotView private[TableStore] (
+      val wave: Long, tables: Map[String, Seq[Long]]) {
+    private[TableStore] def tableVersions: Map[String, Seq[Long]] = tables
+    def exists(table: String): Boolean = tables.get(table).exists(_.nonEmpty)
+    def readAppendOnly(table: String): Option[DataFrame] = {
+      val versions = tables.getOrElse(table, Nil)
+      if (versions.isEmpty) None
+      else tryRead(table, versions.map(v => tableDir(table, v).toString))
+    }
+    def readLatest(table: String): Option[DataFrame] =
+      tables.getOrElse(table, Nil).lastOption.flatMap { v =>
+        try Some(spark.read.parquet(tableDir(table, v).toString))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      }
   }
 
   /** Drop uncommitted staged state (resume path). */

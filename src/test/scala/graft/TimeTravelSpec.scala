@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.crawl._
+
+/** Iceberg-style time travel over the snapshot-versioned store: every
+  * committed wave is readable as of its manifest (`TableStore.asOf`,
+  * `Scheduler.urlsViewAsOf`/`frontierViewAsOf`), and `expireSnapshots`
+  * bounds history like Iceberg's expire_snapshots. Ground truth comes from
+  * the engine's own determinism: a second crawl truncated at wave w must
+  * see exactly the state a full crawl time-travels back to. */
+class TimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def crawl(maxWaves: Int): (Scheduler, TableStore) = {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("timetravel"))
+    val sched = new Scheduler(spark, store, CrawlConfig())
+    sched.bootstrap(
+      Fixtures.pagesDF(spark, Fixtures.staticSitePages),
+      Fixtures.sourcesDF(spark, Fixtures.staticSiteSources))
+    sched.run(maxWaves = maxWaves)
+    (sched, store)
+  }
+
+  private def canonUrls(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.selectExpr(
+      "concat(url,'|',status,'|',coalesce(title,''),'|',coalesce(cast(last_get as string),''))")
+      .as[String].collect().sorted.toSeq
+
+  private lazy val full = crawl(maxWaves = 40)
+
+  test("every committed wave is listed and readable as of its manifest") {
+    val (_, store) = full
+    val waves = store.snapshotWaves
+    assert(waves.contains(-1L), "bootstrap commit missing from the snapshot log")
+    assert(waves.contains(store.currentWave), "latest commit missing")
+    waves.foreach { w =>
+      assert(store.asOf(w).isDefined, s"wave $w unreadable")
+    }
+    assert(store.asOf(store.currentWave + 100).isEmpty, "phantom future snapshot")
+  }
+
+  test("urlsViewAsOf(w) equals a crawl truncated at wave w (deterministic replay)") {
+    val (sched, _) = full
+    val (truncSched, truncStore) = crawl(maxWaves = 3) // waves 0..2
+    val w = truncStore.currentWave
+    val travelled = sched.urlsViewAsOf(w)
+    assert(travelled.isDefined, s"wave $w not time-travel readable")
+    assert(canonUrls(travelled.get) == canonUrls(truncSched.urlsView))
+    // and the historical frontier is the truncated crawl's live frontier
+    val fThen = sched.frontierViewAsOf(w).get
+      .selectExpr("concat(url,'|',lane,'|',state)").as[String].collect().sorted.toSeq
+    val fTrunc = truncSched.frontierView
+      .selectExpr("concat(url,'|',lane,'|',state)").as[String].collect().sorted.toSeq
+    assert(fThen == fTrunc)
+    // mid-crawl state differs from final state (the travel is not a no-op)
+    assert(canonUrls(travelled.get) != canonUrls(sched.urlsView))
+  }
+
+  test("expireSnapshots keeps the newest N, drops the rest, live reads survive") {
+    val (sched, store) = crawl(maxWaves = 40)
+    val before = store.snapshotWaves
+    assert(before.size > 3)
+    val liveBefore = canonUrls(sched.urlsView)
+    store.expireSnapshots(keepLast = 2)
+    val after = store.snapshotWaves
+    assert(after == before.takeRight(2))
+    assert(store.asOf(before.head).isEmpty, "expired wave still readable")
+    assert(store.asOf(after.last).isDefined)
+    // live view unaffected: every version the live manifest references is retained
+    assert(canonUrls(sched.urlsView) == liveBefore)
+    // retained snapshot still resolves to real files
+    val snap = store.asOf(after.head).get
+    assert(snap.readAppendOnly("urls").get.count() > 0)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Funcs
-import graft.ops.{Dedup, Graph, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{AsOf, Dedup, Graph, Sampling, Similarity, TextAnalysis, Multimodal}
 import graft.crawl.{Metadata, Collections, Uncrawlables}
 
 /** Driver contract: the operator catalog (SURVEY.md §2) exposed as named
@@ -921,6 +921,67 @@ object SparkEntry {
         .select(col("doc_id").as("id")), maxDepth = 6)
     }),
 
+    // ---------------- deterministic sampling / data mixing (ops/Sampling)
+    // X1: Bernoulli hash sample at rate 0.25 keyed on (doc_id, salt). The
+    // sample is a pure function of the data — the oracle re-selects the
+    // IDENTICAL rows from the hash; Spark's own .sample() could never be
+    // oracle-checked this way (its row set depends on partition layout)
+    "x1_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(t(s, d, "documents"), col("doc_id"), rate = 0.25,
+        salt = "s1").select("doc_id", "source")),
+    // X2: weighted per-source mixing — srcN keeps at rate N*0.05 (src0
+    // drops entirely); broadcast weights, map-side filter, no corpus shuffle
+    "x2_weighted_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val weights = docs.select(col("source").as("group")).distinct()
+        .withColumn("rate",
+          substring(col("group"), 4, 10).cast("int") * lit(0.05))
+      Sampling.weightedSample(docs, col("source"), weights, col("doc_id"),
+        salt = "mix").select("doc_id", "source")
+    }),
+    // X3: per-source quota (k=10) chosen by hash order — the stratified
+    // domain cap; constant rank bound engages WindowGroupLimit
+    "x3_source_quota" -> ((s, d) =>
+      Sampling.groupQuota(t(s, d, "documents"), col("source"), col("doc_id"),
+        k = 10, salt = "q").select("doc_id", "source")),
+    // X4: epoch mixing — src0-4 repeat 3 epochs, src5-9 repeat 2, rest 1
+    // (the "Wikipedia x3" over-representation pattern)
+    "x4_epoch_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = substring(col("group"), 4, 10).cast("int")
+      val epochs = docs.select(col("source").as("group")).distinct()
+        .withColumn("epochs",
+          when(n < 5, lit(3)).when(n < 10, lit(2)).otherwise(lit(1)))
+      Sampling.epochMix(docs, col("source"), epochs)
+        .select("doc_id", "source", "epoch")
+    }),
+
+    // J10: as-of (point-in-time) join — for each error event the latest
+    // click by the same user at-or-before its ts; single union+window pass
+    // (ops/AsOf), never an inequality-join pair explosion. Oracle: DuckDB's
+    // native ASOF LEFT JOIN
+    "j10_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      val errs = ev.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts")
+      AsOf.asOfJoin(errs, clicks, key = "user_id", leftTs = "ts",
+          rightTs = "ts",
+          rightCols = Map("ts" -> "click_ts", "value" -> "click_value"))
+        .select(col("event_id"), col("user_id"), col("ts").as("error_ts"),
+          col("click_ts"), col("click_value"))
+    }),
+
+    // T14: TF-IDF top-3 terms per document in exact integer arithmetic
+    // (score_micro = tf*10^6 div df — engine-exact where float idf is not)
+    "t14_tfidf_topk" -> ((s, d) =>
+      TextAnalysis.tfidfTopK(t(s, d, "documents"), k = 3)),
+    // T15: rarity bucketing (rank-based CCNet head/middle/tail split) —
+    // thresholds are broadcast scalars, never a global ntile sort
+    "t15_rarity_buckets" -> ((s, d) =>
+      TextAnalysis.rarityBuckets(t(s, d, "documents"))),
+
     // ---------------- crawl-native operators (no SQL twin; rows-only)
     "f1_normalize" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -1008,6 +1069,34 @@ object SparkEntry {
     "a7_filtered_count" -> "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
     "u1_union_dedup" ->
       s"""SELECT DISTINCT url FROM (SELECT $urlsSql AS url FROM documents WHERE doc_id < 100 UNION ALL SELECT $urlsSql AS url FROM documents WHERE doc_id BETWEEN 50 AND 150)""",
+    // sampling/mixing oracles recompute the hash decision from scratch:
+    // sha256 hex prefixes compare lexicographically exactly like the 32-bit
+    // integers they encode, in both engines
+    "x1_hash_sample" ->
+      "SELECT doc_id, source FROM documents WHERE substr(sha256(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) < '40000000'",
+    "x2_weighted_mix" ->
+      "SELECT doc_id, source FROM documents WHERE substr(sha256(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) < printf('%08x', LEAST(CAST(floor(CAST(substr(source, 4) AS INT) * CAST(0.05 AS DOUBLE) * 4294967296.0) AS BIGINT), 4294967295))",
+    "x3_source_quota" ->
+      "SELECT doc_id, source FROM documents QUALIFY row_number() OVER (PARTITION BY source ORDER BY substr(sha256(CAST(doc_id AS VARCHAR) || 'q'), 1, 8), doc_id) <= 10",
+    "x4_epoch_mix" ->
+      "SELECT doc_id, source, CAST(unnest(generate_series(1, CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 3 WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2 ELSE 1 END)) AS INT) AS epoch FROM documents",
+    "j10_asof_join" ->
+      "WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'), errs AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') SELECT e.event_id, e.user_id, e.ts AS error_ts, c.ts AS click_ts, c.value AS click_value FROM errs e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND c.ts <= e.ts",
+    "t14_tfidf_topk" ->
+      ("WITH toks AS (SELECT doc_id, t.t AS term FROM documents, unnest(regexp_split_to_array(lower(text), '\\W+')) AS t(t) WHERE t.t <> ''), " +
+       "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2), " +
+       "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+       "scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df, (tf.tf * 1000000) // dfq.df AS score_micro FROM tf JOIN dfq USING (term)) " +
+       "SELECT doc_id, term, tf, df, score_micro, rank FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term) AS rank FROM scored) WHERE rank <= 3"),
+    "t15_rarity_buckets" ->
+      ("WITH toks AS (SELECT doc_id, t.t AS term FROM documents, unnest(regexp_split_to_array(lower(text), '\\W+')) AS t(t) WHERE t.t <> ''), " +
+       "dict AS (SELECT term, count(*) AS n FROM toks GROUP BY 1), " +
+       "ranked AS (SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rank FROM dict), " +
+       "vocab AS (SELECT count(*) AS vocab FROM dict), " +
+       "perdoc AS (SELECT doc_id, count(*) AS n_toks, sum(rank) AS sum_rank FROM toks JOIN ranked USING (term) GROUP BY 1) " +
+       "SELECT doc_id, n_toks, CAST((sum_rank * 1000000) // n_toks AS BIGINT) AS mean_rank_micro, " +
+       "CASE WHEN ((sum_rank * 1000000) // n_toks) * 100 <= vocab * 25000000 THEN 'head' WHEN ((sum_rank * 1000000) // n_toks) * 100 <= vocab * 60000000 THEN 'middle' ELSE 'tail' END AS bucket " +
+       "FROM perdoc CROSS JOIN vocab"),
     "w1_running_count" ->
       "SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n FROM events",
     "st1_tumbling_window" ->

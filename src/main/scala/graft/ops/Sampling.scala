@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and data-mixing operators for corpus curation.
+  *
+  * Spark's own `DataFrame.sample` draws from a per-partition RNG stream, so
+  * its row set depends on the physical partition layout — re-running the
+  * same sample at a different parallelism (or after an AQE re-plan, or on
+  * resume from checkpoint) selects DIFFERENT rows. A training-data pipeline
+  * needs the opposite: the sample must be a pure function of the data so a
+  * resumed or re-sharded job reproduces it bit-for-bit. Every operator here
+  * therefore keys its decision on a cryptographic hash of the row key —
+  * stateless, map-only (no shuffle, no RNG state), identical at any
+  * parallelism, and cheap enough to run inline on a 100 TB scan.
+  *
+  * The hash is sha-256 (not xxhash64) so the DuckDB oracle can recompute
+  * the identical decision: both engines emit the same lowercase hex digest,
+  * and a fixed-width hex prefix compares lexicographically exactly like the
+  * integer it encodes.
+  */
+object Sampling {
+
+  /** 8-hex-digit threshold encoding `rate` over the 32-bit hash prefix:
+    * a row is kept iff its prefix < threshold, so P(keep) = rate exactly
+    * (up to 2^-32 quantization). */
+  def thresholdHex(rate: Double): String = {
+    val r = math.max(0.0, math.min(1.0, rate))
+    f"${math.min((r * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  private def prefix(key: Column, salt: String): Column =
+    substring(sha2(concat(key.cast("string"), lit(salt)), 256), 1, 8)
+
+  /** Bernoulli(rate) sample keyed on `key`: keep iff
+    * sha256(key||salt)[0,8) < rate·2^32. Changing `salt` draws an
+    * independent sample; the same (key, salt) always decides the same way
+    * (the property that makes train/validation splits stable across reshards
+    * and resumes). Map-only — the filter rides the scan. */
+  def hashSample(df: DataFrame, key: Column, rate: Double,
+      salt: String = ""): DataFrame =
+    df.filter(prefix(key, salt) < lit(thresholdHex(rate)))
+
+  /** Deterministic fraction-per-group sampling (data mixing): `weights` is
+    * a small (group, rate) table — broadcast — and each row keeps iff its
+    * hash prefix clears its own group's threshold. The corpus side never
+    * shuffles: one broadcast hash join + a codegen'd string compare, which
+    * is what lets a 100 TB corpus be re-weighted in a single map pass.
+    * Rows whose group has no weight row are dropped (rate 0). */
+  def weightedSample(df: DataFrame, groupCol: Column, weights: DataFrame,
+      key: Column, salt: String = ""): DataFrame = {
+    val w = weights.select(col("group").as("_mix_group"),
+      format_string("%08x",
+        least(floor(col("rate") * 4294967296.0), lit(4294967295.0)).cast("long"))
+        .as("_mix_threshold"))
+    df.withColumn("_mix_group", groupCol)
+      .join(broadcast(w), Seq("_mix_group"))
+      .filter(prefix(key, salt) < col("_mix_threshold"))
+      .drop("_mix_group", "_mix_threshold")
+  }
+
+  /** Per-source epoch mixing: sources a pipeline wants over-represented
+    * repeat an integer number of epochs (the "Wikipedia ×3" pattern).
+    * `epochs` is a small (group, epochs:int) table — broadcast — and each
+    * row explodes into (row, epoch=1..k). sequence+explode is codegen'd;
+    * output size is Σ epochs·|group|, declared by the weights table, and
+    * the explode is embarrassingly parallel (no shuffle). Unweighted
+    * groups default to one epoch. */
+  def epochMix(df: DataFrame, groupCol: Column, epochs: DataFrame): DataFrame = {
+    val e = epochs.select(col("group").as("_mix_group"),
+      col("epochs").cast("int").as("_mix_epochs"))
+    df.withColumn("_mix_group", groupCol)
+      .join(broadcast(e), Seq("_mix_group"), "left")
+      .withColumn("epoch",
+        explode(sequence(lit(1), coalesce(col("_mix_epochs"), lit(1)))))
+      .drop("_mix_group", "_mix_epochs")
+  }
+
+  /** Per-group quota (stratified cap): keep at most `k` rows per group,
+    * chosen by hash order (deterministic, unbiased by ingest order) with
+    * the key as tiebreak. The rank filter is a constant bound, so Spark 4's
+    * WindowGroupLimit keeps each group's top-k BELOW the exchange — a
+    * mega-group (one domain with 10^9 docs) contributes k rows per input
+    * partition to the shuffle, never its whole population. This is the
+    * skew-immune way to cap dominant domains in a crawl corpus. */
+  def groupQuota(df: DataFrame, groupCol: Column, key: Column, k: Int,
+      salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .withColumn("_q_hash", prefix(key, salt))
+      .withColumn("_q_rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col("_q_hash"), key)))
+    ranked.filter(col("_q_rn") <= k).drop("_q_hash", "_q_rn")
+  }
+}

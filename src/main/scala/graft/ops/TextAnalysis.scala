@@ -340,6 +340,70 @@ object TextAnalysis {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
   }
 
+  /** TF-IDF top-k terms per document, in exact integer arithmetic so the
+    * result hash-compares across engines (floating idf = ln(N/df) is libm-
+    * dependent in its last ulp; `score_micro = tf·10^6 div df` preserves
+    * the tf/df ordering for fixed tf ranges and is bit-identical
+    * everywhere). Shapes, in corpus-scale order: one explode + hash-groupBy
+    * for per-doc term counts (map-side combine applies), document frequency
+    * re-aggregated FROM the tf frame (the (doc,term) distinct already
+    * happened — no second pass over raw text), a sort-merge join on term
+    * (the term dictionary can exceed broadcast size at web scale), and a
+    * per-doc top-k window whose constant rank bound engages
+    * WindowGroupLimit below the exchange. */
+  def tfidfTopK(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"),
+        explode(split(lower(col(textCol)), "\\W+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score_micro", expr("tf * 1000000L div df"))
+      .withColumn("rn_", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(desc("score_micro"), asc("term"))))
+      .filter(col("rn_") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_micro"), col("rn_").cast("long").as("rank"))
+  }
+
+  /** Rarity bucketing (the CCNet head/middle/tail split, rank-based
+    * instead of LM-perplexity so it is model-free and engine-exact): each
+    * token gets its corpus frequency rank (1 = most frequent; row_number
+    * over (count desc, term asc) — fully deterministic, no dense_rank
+    * ties); each document scores the integer mean rank of its tokens in
+    * micro units; buckets cut at FIXED fractions of the vocabulary size
+    * (mean rank ≤ 25% of vocab → head, ≤ 60% → middle, else tail).
+    *
+    * The thresholds are two broadcast scalars — never a global ntile sort,
+    * which would single-partition the corpus: every per-doc decision is a
+    * map-side comparison, and the only shuffles are the token count
+    * aggregation and the term-dictionary join. The dictionary rank window
+    * partitions by nothing but runs over the VOCABULARY (10^6-ish rows at
+    * web scale, not corpus rows), which is the one acceptable global sort
+    * in this pipeline. */
+  def rarityBuckets(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(lower(col(textCol)), "\\W+")).as("term"))
+      .filter(col("term") =!= "")
+    val dict = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("n"), asc("term"))).cast("long"))
+    val vocab = dict.agg(count(lit(1)).as("vocab"))
+    val perDoc = toks.join(dict.select("term", "rank"), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("rank").as("sum_rank"))
+      .withColumn("mean_rank_micro", expr("sum_rank * 1000000L div n_toks"))
+    perDoc.crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("n_toks"), col("mean_rank_micro"),
+        when(col("mean_rank_micro") * 100 <= col("vocab") * lit(25000000L), lit("head"))
+          .when(col("mean_rank_micro") * 100 <= col("vocab") * lit(60000000L), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Top-k n-grams by frequency (corpus statistics): tokenize, slide an
     * n-window via transform/slice (codegen'd — no UDF), explode, count,
     * global top-k. The orderBy+limit is a TakeOrderedAndProject, so only k

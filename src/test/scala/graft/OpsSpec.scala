@@ -444,6 +444,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a == b)
     assert(TextAnalysis.fingerprint("short") == TextAnalysis.fingerprint("short"))
   }
+
+  test("tfidf top-k: rare terms outrank common ones, integer-exact") {
+    val docs = Seq(
+      (0L, "apple banana cherry apple"),
+      (1L, "apple banana durian"),
+      (2L, "apple elderberry elderberry")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("score_micro"))).toMap
+    // doc 0: apple tf=2 df=3 → 666666; banana tf=1 df=2 → 500000;
+    // cherry tf=1 df=1 → 1000000 wins
+    assert(out((0L, 1L)) == ("cherry", 1000000L))
+    assert(out((0L, 2L)) == ("apple", 666666L))
+    // doc 2: elderberry tf=2 df=1 → 2000000 beats apple 333333
+    assert(out((2L, 1L)) == ("elderberry", 2000000L))
+  }
+
+  test("rarity buckets: frequent-vocab docs head, rare-vocab docs tail") {
+    // vocab of 8 terms: c0 appears in every doc (rank 1), u1..u7 once each
+    val docs = Seq(
+      (0L, "c0 c0 c0 c0"), // mean rank 1 → head
+      (1L, "c0 u1"),
+      (2L, "c0 u2"),
+      (3L, "u3 u4 u5 u6 u7")) // mean rank ~6 of vocab 8 → tail
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rarityBuckets(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(out(0L) == "head")
+    assert(out(3L) == "tail")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val rows = (0L until 2000L)
+    .map(i => (i, s"grp${i % 5}")).toDF("id", "grp")
+
+  test("hash sample is a pure function of the data, not the partitioning") {
+    val a = Sampling.hashSample(rows.repartition(1), col("id"), 0.3, "t")
+      .select("id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(rows.repartition(13), col("id"), 0.3, "t")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    // rate lands near the target (binomial, n=2000, p=0.3 → ±4σ ≈ ±82)
+    assert(math.abs(a.length - 600) < 100, s"got ${a.length}")
+  }
+
+  test("different salts draw independent samples; same salt repeats") {
+    val s1 = Sampling.hashSample(rows, col("id"), 0.5, "a")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s1b = Sampling.hashSample(rows, col("id"), 0.5, "a")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(rows, col("id"), 0.5, "b")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s1b)
+    assert(s1 != s2)
+    // a rate-r subsample with a different salt intersects at ~r² of n
+    val inter = s1.intersect(s2).size
+    assert(math.abs(inter - 500) < 150, s"got $inter")
+  }
+
+  test("rate monotonicity: a higher rate is a superset of a lower one") {
+    val lo = Sampling.hashSample(rows, col("id"), 0.2, "m")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val hi = Sampling.hashSample(rows, col("id"), 0.6, "m")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("weighted sample applies each group's own rate; rate 0 drops all") {
+    val weights = Seq(("grp0", 0.0), ("grp1", 1.0), ("grp2", 0.5))
+      .toDF("group", "rate")
+    val out = Sampling.weightedSample(rows, col("grp"), weights, col("id"), "w")
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("grp0"))
+    assert(out("grp1") == 400L) // rate 1.0 keeps every row
+    assert(math.abs(out("grp2") - 200L) < 60)
+    assert(!out.contains("grp3") && !out.contains("grp4")) // unweighted drop
+  }
+
+  test("group quota caps each group at k, deterministically") {
+    val a = Sampling.groupQuota(rows.repartition(3), col("grp"), col("id"), 7)
+    val counts = a.groupBy("grp").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 7L))
+    val b = Sampling.groupQuota(rows.repartition(17), col("grp"), col("id"), 7)
+    assert(a.select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(b.select("id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("group quota keeps whole groups smaller than k") {
+    val out = Sampling.groupQuota(rows.filter(col("id") < 3), col("grp"),
+      col("id"), 10)
+    assert(out.count() == 3)
+  }
+
+  test("group quota plan: constant rank bound engages WindowGroupLimit") {
+    val plan = Sampling.groupQuota(rows, col("grp"), col("id"), 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "quota rank filter did not push a WindowGroupLimit below the exchange")
+  }
+
+  test("weighted sample plan: weights broadcast, corpus side never shuffles") {
+    val weights = Seq(("grp0", 0.5)).toDF("group", "rate")
+    val plan = Sampling.weightedSample(rows, col("grp"), weights, col("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "weights table was not broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "corpus side paid a shuffle join for a tiny weights table")
+  }
+
+  test("epoch mix repeats rows per group factor; unweighted default 1") {
+    val epochs = Seq(("grp0", 3), ("grp1", 2)).toDF("group", "epochs")
+    val out = Sampling.epochMix(rows, col("grp"), epochs)
+    val byGrp = out.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("grp0") == 1200L)
+    assert(byGrp("grp1") == 800L)
+    assert(byGrp("grp2") == 400L)
+    // epoch numbering is 1..k per row
+    val eps = out.filter(col("grp") === "grp0" && col("id") === 0L)
+      .select("epoch").collect().map(_.getInt(0)).sorted
+    assert(eps.sameElements(Array(1, 2, 3)))
+  }
+}

@@ -348,8 +348,14 @@ object Bench {
         sched.run(maxWaves = 40)
         (System.nanoTime() - t0) / 1e9
       }
-      crawlOnce() // warmup
-      timings += "crawl_fixture_e2e" -> math.min(crawlOnce(), crawlOnce())
+      // GC-settle between runs, as the kernel does: the crawl's per-wave
+      // localCheckpoint blocks are reclaimed at wave end, but shuffle files
+      // and broadcast state still wait on ContextCleaner, which only acts
+      // after a driver GC — without this, back-to-back crawls in one JVM
+      // drifted 3x slower run over run
+      def settled(): Double = { val t = crawlOnce(); System.gc(); Thread.sleep(2000); t }
+      settled() // warmup
+      timings += "crawl_fixture_e2e" -> math.min(settled(), settled())
     } finally sparkE2e.stop()
 
     val spark = session(s"local[$cpus]", cpus)

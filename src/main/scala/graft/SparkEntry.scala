@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Funcs
-import graft.ops.{AsOf, Dedup, Graph, Sampling, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{AsOf, Dedup, Graph, Sampling, Similarity, Skew, TextAnalysis, Multimodal}
 import graft.crawl.{Metadata, Collections, Uncrawlables}
 
 /** Driver contract: the operator catalog (SURVEY.md §2) exposed as named
@@ -956,6 +956,28 @@ object SparkEntry {
         .select("doc_id", "source", "epoch")
     }),
 
+    // X5: deterministic output sharding — the write-side twin of X1: shard
+    // membership is a pure function of doc_id, so re-runs and resumes emit
+    // byte-identical shards; checked as a per-shard rollup
+    "x5_output_shards" -> ((s, d) =>
+      Sampling.assignShards(t(s, d, "documents"), col("doc_id"), n = 10,
+          salt = "sh")
+        .groupBy("shard").agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))),
+
+    // J11: explicit salted join for known-skew keys (ops/Skew) — the
+    // events side is collapsed to 5 mega-keys; the salted plan must return
+    // EXACTLY the plain join's rows (salting only re-partitions work)
+    "j11_salted_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"), (col("user_id") % 5).as("bucket5"))
+      val dim = ev.select(col("bucket5")).distinct()
+        .select(col("bucket5"),
+          concat(lit("shard-"), col("bucket5").cast("string")).as("bucket_name"))
+      Skew.saltedJoin(ev, dim, "bucket5", salts = 8)
+        .select("event_id", "bucket5", "bucket_name")
+    }),
+
     // J10: as-of (point-in-time) join — for each error event the latest
     // click by the same user at-or-before its ts; single union+window pass
     // (ops/AsOf), never an inequality-join pair explosion. Oracle: DuckDB's
@@ -1080,6 +1102,13 @@ object SparkEntry {
       "SELECT doc_id, source FROM documents QUALIFY row_number() OVER (PARTITION BY source ORDER BY substr(sha256(CAST(doc_id AS VARCHAR) || 'q'), 1, 8), doc_id) <= 10",
     "x4_epoch_mix" ->
       "SELECT doc_id, source, CAST(unnest(generate_series(1, CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 3 WHEN CAST(substr(source, 4) AS INT) < 10 THEN 2 ELSE 1 END)) AS INT) AS epoch FROM documents",
+    "x5_output_shards" ->
+      ("SELECT shard, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc FROM " +
+       "(SELECT doc_id, ((strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || 'sh'), 1, 1)) - 1) * 16 + " +
+       "(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || 'sh'), 2, 1)) - 1)) % 10 AS shard FROM documents) " +
+       "GROUP BY shard"),
+    "j11_salted_join" ->
+      "SELECT event_id, user_id % 5 AS bucket5, 'shard-' || CAST(user_id % 5 AS VARCHAR) AS bucket_name FROM events",
     "j10_asof_join" ->
       "WITH clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'), errs AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') SELECT e.event_id, e.user_id, e.ts AS error_ts, c.ts AS click_ts, c.value AS click_value FROM errs e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND c.ts <= e.ts",
     "t14_tfidf_topk" ->

@@ -314,6 +314,14 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
 
   def runWave(w: Long): WaveStats = {
     store.resetPending()
+    // persistent-RDD watermark: everything this wave persists or
+    // localCheckpoints below is freed at wave end. DataFrame.unpersist()
+    // covers the persist() frames but NOT localCheckpoint blocks (they live
+    // as plain RDD blocks outside the CacheManager and otherwise wait for a
+    // driver GC + ContextCleaner pass — on a large driver heap that can be
+    // never, and the blocks accumulate across waves and runs: measured as a
+    // 3x wall-time drift over three back-to-back fixture crawls in one JVM)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
     val waveStart = w * cfg.waveWindowSec
     val waveEnd = (w + 1) * cfg.waveWindowSec
     val nowSec = baseEpochSec + waveStart.toLong
@@ -855,6 +863,15 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       dstCreates, newEnqueues, whitelist)
       .filter(_ != null)
       .foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    // free this wave's localCheckpoint blocks (see rddsBefore above): every
+    // checkpointed frame is wave-scoped — nothing outside runWave reads one
+    // after it returns — so dropping the blocks is safe and keeps the
+    // BlockManager flat across arbitrarily many waves
+    val rddsAfter = spark.sparkContext.getPersistentRDDs
+    (rddsAfter.keySet -- rddsBefore).foreach { id =>
+      try rddsAfter(id).unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
 
     WaveStats(w, takenCount, okCount, enqCount, depth, urlsReadCount)
   }

@@ -77,6 +77,22 @@ object Sampling {
       .drop("_mix_group", "_mix_epochs")
   }
 
+  /** Deterministic output-shard assignment — the LAST operator of a
+    * training-data pipeline: the corpus writes as n shards whose membership
+    * is a pure function of the key, so a re-run (or a resumed job, or a
+    * different cluster size) produces byte-identical shard files. shard =
+    * (first two hex digits of sha256(key||salt) as an int in [0,256)) mod n
+    * — uniform for n ≤ 256, recomputable in any engine with a sha256 and
+    * string ops. Map-only; the downstream `repartition(col("shard"))` (or
+    * partitionBy on write) is the single intentional exchange. */
+  def assignShards(df: DataFrame, key: Column, n: Int,
+      salt: String = ""): DataFrame = {
+    require(n > 0 && n <= 256, s"n must be in [1,256], got $n")
+    val h = sha2(concat(key.cast("string"), lit(salt)), 256)
+    val v = conv(substring(h, 1, 2), 16, 10).cast("int")
+    df.withColumn("shard", pmod(v, lit(n)))
+  }
+
   /** Per-group quota (stratified cap): keep at most `k` rows per group,
     * chosen by hash order (deterministic, unbiased by ingest order) with
     * the key as tiebreak. The rank filter is a constant bound, so Spark 4's

@@ -87,6 +87,19 @@ class SamplingSpec extends AnyFunSuite {
       "corpus side paid a shuffle join for a tiny weights table")
   }
 
+  test("shard assignment: in-range, deterministic, roughly uniform") {
+    val a = Sampling.assignShards(rows.repartition(2), col("id"), 16, "z")
+      .select("id", "shard").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val b = Sampling.assignShards(rows.repartition(9), col("id"), 16, "z")
+      .select("id", "shard").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+    assert(a.forall { case (_, s) => s >= 0 && s < 16 })
+    val sizes = a.groupBy(_._2).map(_._2.length)
+    assert(sizes.size == 16)
+    // 2000 keys over 16 shards → mean 125; Poisson 5σ ≈ ±56
+    assert(sizes.forall(n => n > 65 && n < 185), s"skewed shards: $sizes")
+  }
+
   test("epoch mix repeats rows per group factor; unweighted default 1") {
     val epochs = Seq(("grp0", 3), ("grp1", 2)).toDF("group", "epochs")
     val out = Sampling.epochMix(rows, col("grp"), epochs)

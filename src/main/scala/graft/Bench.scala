@@ -204,6 +204,10 @@ object Bench {
     val cmd = Seq(s"$javaHome/bin/java", "-Xmx16g", "-cp", cp, "graft.ThreadScaleProbe")
     val proc = new ProcessBuilder(cmd: _*).start()
     val out = new StringBuilder
+    val drain = new Thread(() => { // a full stderr pipe would deadlock the child
+      scala.io.Source.fromInputStream(proc.getErrorStream).getLines().foreach(_ => ())
+    })
+    drain.setDaemon(true); drain.start()
     scala.io.Source.fromInputStream(proc.getInputStream).getLines()
       .foreach { l => if (l.startsWith("PROBE ")) out.append(l) }
     proc.waitFor()

@@ -32,8 +32,15 @@ object CrawlDemo {
           starts.put(j.jobId, (System.nanoTime(),
             Option(j.properties.getProperty("callSite.short")).getOrElse("?")))
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val (t0, site) = starts.remove(j.jobId)
-          System.err.println(f"[job] ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2fs $site")
+          // the async listener bus drops events under load — a JobEnd whose
+          // JobStart was dropped must not throw (repeated listener failures
+          // silently disable the diagnostics this flag exists for)
+          starts.remove(j.jobId) match {
+            case null =>
+              System.err.println(f"[job] ${j.jobId}%4d      ?s (start event dropped)")
+            case (t0, site) =>
+              System.err.println(f"[job] ${j.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2fs $site")
+          }
         }
       })
     }

@@ -1132,6 +1132,9 @@ object SparkEntry {
       "SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n FROM events GROUP BY 1, 2",
     // independent gaps-and-islands twin of session_window: a session break
     // is a >30-min gap from the previous event of the same user
+    // boundary semantics verified empirically against Spark 4.1: events
+    // exactly `gap` apart MERGE into one session (second ts == first
+    // window end), so the island break is `<=`, not `<`
     "st2_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, ts, value,

@@ -130,25 +130,36 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     * the window. */
   private def frontierDF: DataFrame = frontierMorView(None)
 
-  /** The frontier log with schema backfill: pre-MOR files get wave-0
-    * stamps, pre-bucketing files get their fbucket recomputed from the url
-    * (same read-side migration policy as the urls `ubucket`). */
+  /** Frontier-log schema backfill: pre-MOR files get wave-0 stamps,
+    * pre-bucketing files get their fbucket recomputed from the url,
+    * pre-priority logs score 0 (same read-side migration policy as the
+    * urls `ubucket`). Shared by the live view and time travel. */
+  private def frontierBackfill(df0raw: DataFrame): DataFrame = {
+    val stamped =
+      if (df0raw.columns.contains("f_wave"))
+        df0raw.withColumn("f_wave", coalesce($"f_wave", lit(0L)))
+          .withColumn("f_prio", coalesce($"f_prio", lit(0)))
+      else df0raw.withColumn("f_wave", lit(0L)).withColumn("f_prio", lit(0))
+    val bucketed =
+      if (stamped.columns.contains("fbucket"))
+        stamped.withColumn("fbucket", coalesce($"fbucket", bucketCol($"url")))
+      else stamped.withColumn("fbucket", bucketCol($"url"))
+    if (bucketed.columns.contains("prio_score"))
+      bucketed.withColumn("prio_score", coalesce($"prio_score", lit(0L)))
+    else bucketed.withColumn("prio_score", lit(0L))
+  }
+
+  /** Latest-wins MOR collapse of a (backfilled) frontier transition log —
+    * the ONE place the frontier's ordering contract lives. */
+  private def frontierLatestWins(log: DataFrame): DataFrame = {
+    val w = Window.partitionBy("url").orderBy(desc("f_wave"), desc("f_prio"))
+    log.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1)
+      .drop("rn_", "f_wave", "f_prio", "fbucket")
+      .filter($"state" =!= StateTaken)
+  }
+
   private def frontierLog: Option[DataFrame] =
-    store.readAppendOnly("frontier").map { df0raw =>
-      val stamped =
-        if (df0raw.columns.contains("f_wave"))
-          df0raw.withColumn("f_wave", coalesce($"f_wave", lit(0L)))
-            .withColumn("f_prio", coalesce($"f_prio", lit(0)))
-        else df0raw.withColumn("f_wave", lit(0L)).withColumn("f_prio", lit(0))
-      val bucketed =
-        if (stamped.columns.contains("fbucket"))
-          stamped.withColumn("fbucket", coalesce($"fbucket", bucketCol($"url")))
-        else stamped.withColumn("fbucket", bucketCol($"url"))
-      // pre-priority logs score 0 (pure FIFO among themselves)
-      if (bucketed.columns.contains("prio_score"))
-        bucketed.withColumn("prio_score", coalesce($"prio_score", lit(0L)))
-      else bucketed.withColumn("prio_score", lit(0L))
-    }
+    store.readAppendOnly("frontier").map(frontierBackfill)
 
   private def frontierMorView(onlyUrl: Option[String]): DataFrame =
     frontierLog match {
@@ -159,10 +170,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
             log.filter($"fbucket" === urlBucketOf(u) && $"url" === u)
           case None => log
         }
-        val w = Window.partitionBy("url").orderBy(desc("f_wave"), desc("f_prio"))
-        df0.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1)
-          .drop("rn_", "f_wave", "f_prio", "fbucket")
-          .filter($"state" =!= StateTaken)
+        frontierLatestWins(df0)
     }
 
   /** Live frontier rows for one url — a bucket-pruned point read of the
@@ -236,17 +244,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     store.asOf(wave).map { s =>
       s.readAppendOnly("frontier") match {
         case None => emptyDF[FrontierRow]
-        case Some(raw) =>
-          val stamped =
-            if (raw.columns.contains("f_wave"))
-              raw.withColumn("f_wave", coalesce($"f_wave", lit(0L)))
-                .withColumn("f_prio", coalesce($"f_prio", lit(0)))
-            else raw.withColumn("f_wave", lit(0L)).withColumn("f_prio", lit(0))
-          val w = Window.partitionBy("url").orderBy(desc("f_wave"), desc("f_prio"))
-          stamped.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1)
-            .drop("rn_", "f_wave", "f_prio")
-            .drop("fbucket")
-            .filter($"state" =!= StateTaken)
+        case Some(raw) => frontierLatestWins(frontierBackfill(raw))
       }
     }
 

@@ -112,7 +112,13 @@ final class TableStore(spark: SparkSession, rootDir: String) {
           val d = spark.read.option("mergeSchema", "true").parquet(paths: _*)
           mergeInto(table, d.schema)
           d
-        case None => spark.read.parquet(paths: _*)
+        case None =>
+          // populate the cache on single-version reads too, so a later
+          // thin-schema stageAppend merges against the committed columns
+          // instead of seeding the cache with only its own
+          val d = spark.read.parquet(paths: _*)
+          mergeInto(table, d.schema)
+          d
       }
       Some(df)
     } catch {
@@ -154,8 +160,26 @@ final class TableStore(spark: SparkSession, rootDir: String) {
     * is never visible. */
   private val stageLock = new Object
 
+  /** Seed the union-schema cache from the committed footers before the
+    * first staged write to a table this session has never read: merging
+    * only the (possibly thinner) delta schema into an empty cache would
+    * make every later cached-schema read silently null the committed-only
+    * columns — and a subsequent rewrite from that crippled view would
+    * destroy them (e.g. a new session whose first touch of `uncrawlables`
+    * is Scheduler.markUncrawlable's (url, created) delta, over a table
+    * that Mutations.createUncrawlable committed with 7 columns). */
+  private def primeSchema(table: String): Unit =
+    if (!unionSchema.contains(table)) {
+      val versions = committed.getOrElse(table, Nil)
+      if (versions.nonEmpty)
+        try mergeInto(table, spark.read.option("mergeSchema", "true")
+          .parquet(versions.map(v => tableDir(table, v).toString): _*).schema)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+    }
+
   def stageAppend(table: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Long = {
+    primeSchema(table)
     val next = stageLock.synchronized {
       val n = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
       pendingVersions = pendingVersions.updated(table, pendingVersions.getOrElse(table, Nil) :+ n)

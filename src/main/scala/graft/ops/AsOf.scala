@@ -47,7 +47,11 @@ object AsOf {
     val carry = rightCols.toSeq.sortBy(_._2)
     // side=0 sorts right rows BEFORE left rows at equal ts → inclusive
     // at-or-before
-    val rTagged = right.select(col(key).as("_k"), col(rightTs).as("_ts"),
+    // a right row with a NULL timestamp is at-or-before nothing — and asc
+    // ordering sorts nulls FIRST, so left un-dropped it would become the
+    // "match" for every left row that should have none
+    val rTagged = right.filter(col(rightTs).isNotNull)
+      .select(col(key).as("_k"), col(rightTs).as("_ts"),
       lit(0).as("_side"),
       struct(carry.map { case (src, dst) => col(src).as(dst) }: _*).as("_rrow"))
     val lTagged = left.select(col(key).as("_k"), col(leftTs).as("_ts"),

@@ -66,14 +66,19 @@ object Sampling {
     * row explodes into (row, epoch=1..k). sequence+explode is codegen'd;
     * output size is Σ epochs·|group|, declared by the weights table, and
     * the explode is embarrassingly parallel (no shuffle). Unweighted
-    * groups default to one epoch. */
+    * groups default to one epoch; epochs <= 0 DROPS the group (the natural
+    * exclude spelling, matching weightedSample's rate-0) — guarded
+    * explicitly because Spark's sequence(1, 0) counts DOWN ([1, 0]) and
+    * would otherwise duplicate the rows it was meant to drop. */
   def epochMix(df: DataFrame, groupCol: Column, epochs: DataFrame): DataFrame = {
     val e = epochs.select(col("group").as("_mix_group"),
       col("epochs").cast("int").as("_mix_epochs"))
+    val k = coalesce(col("_mix_epochs"), lit(1))
     df.withColumn("_mix_group", groupCol)
       .join(broadcast(e), Seq("_mix_group"), "left")
       .withColumn("epoch",
-        explode(sequence(lit(1), coalesce(col("_mix_epochs"), lit(1)))))
+        explode(when(k >= 1, sequence(lit(1), k))
+          .otherwise(array().cast("array<int>"))))
       .drop("_mix_group", "_mix_epochs")
   }
 

@@ -148,9 +148,15 @@ object Similarity {
     *     rows are id-only; vectors rejoin BY ID for the exact re-rank, so
     *     no array crosses the candidate exchange. Expected probed fraction
     *     ≈ nprobe/nlist of the corpus.
-    * Determinism: seeds are hash-ranked vec_ids; ties in assignment and
-    * ranking break on the lower cell id / vec_id, so the index and results
-    * are identical at any parallelism. */
+    * Determinism: seeds are hash-ranked vec_ids (exact at any
+    * parallelism), and all ties break on the lower cell id / vec_id. One
+    * caveat is inherent to distributed k-means: the Lloyd update sums
+    * floats in shuffle order, so centroids can differ in trailing ulps
+    * between plans, and a vector sitting EXACTLY on a cell boundary may
+    * flip cells (changing a query's candidate set by that vector). The
+    * final scores are exact re-ranks either way; corpora whose cluster
+    * margins exceed float noise (any real embedding corpus, and the ann3
+    * oracle fixture) return identical top-k at any parallelism. */
   def ivfTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
       nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 4): DataFrame = {
     def unitize(v: Array[Double]): Array[Double] = {

@@ -234,15 +234,22 @@ object TextAnalysis {
     * input doc: (doc_id, n_contaminated distinct colliding grams,
     * contaminated flag).
     */
+  /** Distinct xxhash64 of every n-token whitespace window — the ONE
+    * window-hash contract shared by decontaminate (lowercase=true:
+    * case-insensitive leak matching) and windowDedupStats (lowercase=false:
+    * Lee et al.'s exact substrings). Both gates are oracle-checked against
+    * the same hash recipe; keeping it in one place stops them drifting. */
+  private def windowHashes(c: Column, n: Int, lowercase: Boolean): Column = {
+    val toks = split(trim(if (lowercase) lower(c) else c), "\\s+")
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
       n: Int = 13, textCol: String = "text"): DataFrame = {
-    def gramHashes(c: Column): Column = {
-      val toks = split(trim(lower(c)), "\\s+")
-      when(size(toks) >= n,
-        array_distinct(transform(sequence(lit(0), size(toks) - n),
-          i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))))
-        .otherwise(array().cast("array<bigint>"))
-    }
+    def gramHashes(c: Column): Column = windowHashes(c, n, lowercase = true)
     val benchGrams = benchmark
       .select(explode(gramHashes(col(textCol))).as("gram")).distinct()
     val hits = docs
@@ -324,11 +331,7 @@ object TextAnalysis {
     * Deterministic integers at any parallelism (the downstream gate is
     * typically n_dup_windows / n_windows > threshold). */
   def windowDedupStats(docs: DataFrame, n: Int, textCol: String = "text"): DataFrame = {
-    val toks = split(trim(col(textCol)), "\\s+")
-    val wh = when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))))
-      .otherwise(array().cast("array<bigint>"))
+    val wh = windowHashes(col(textCol), n, lowercase = false)
     val win = docs.select(col("doc_id"), explode(wh).as("w"))
     val dupW = win.groupBy("w").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
       .select("w")

@@ -44,6 +44,19 @@ class AsOfSpec extends AnyFunSuite {
       ("C", 600L, None)))
   }
 
+  test("right rows with a NULL timestamp never fabricate a match") {
+    // asc ordering sorts nulls FIRST — un-dropped, a null-ts right row
+    // would become the carry for every left row that should have none
+    val withNull = quotes.unionByName(
+      Seq(("A", Option.empty[java.sql.Timestamp], 666.0)).toDF("sym", "qts", "px"))
+    val out = AsOf.asOfJoin(trades, withNull, key = "sym",
+        leftTs = "tts", rightTs = "qts", rightCols = Map("px" -> "asof_px"))
+      .collect().map(r => (r.getAs[Long]("qty"),
+        Option(r.getAs[java.lang.Double]("asof_px")).map(_.toDouble))).sortBy(_._1)
+    assert(out === Array((100L, None), (200L, Some(2.0)), (300L, Some(2.0)),
+      (400L, Some(3.0)), (500L, Some(9.0)), (600L, None)))
+  }
+
   test("matched right columns come from ONE row, never stitched") {
     val out = AsOf.asOfJoin(trades, quotes, key = "sym",
         leftTs = "tts", rightTs = "qts",

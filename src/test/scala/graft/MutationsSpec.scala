@@ -168,4 +168,28 @@ class MutationsSpec extends AnyFunSuite {
     sched2.run(maxWaves = 5)
     assert(sched2.fetchLogView.count() == 0, "deleted source still seeded the crawl")
   }
+
+  test("uncrawlables: a thin scheduler append from a FRESH session keeps the CRUD columns") {
+    // regression: a new session whose first touch of the table is
+    // markUncrawlable's (url, created) delta must not seed the store's
+    // schema cache with only those two columns — later cached-schema reads
+    // would null the committed name/email/comments, and the next CRUD
+    // rewrite would destroy them permanently
+    val dir = SparkTestBase.tempDir("mut-prime")
+    val m1 = new Mutations(spark, new TableStore(spark, dir))
+    m1.createUncrawlable("http://a.example/x", "Ada", "ada@example", "spam", vtSec = 1)
+
+    val store2 = new TableStore(spark, dir) // fresh session: empty schema cache
+    new Scheduler(spark, store2, CrawlConfig()).markUncrawlable("http://b.example/y")
+    val m2 = new Mutations(spark, store2)
+    val row = m2.uncrawlables.filter($"url" === "http://a.example/x").collect().head
+    assert(row.getAs[String]("name") == "Ada",
+      "thin append from a fresh session nulled committed columns")
+
+    m2.deleteUncrawlable("http://b.example/y") // rewrite from the merged view
+    val m3 = new Mutations(spark, new TableStore(spark, dir))
+    val after = m3.uncrawlables.collect()
+    assert(after.length == 1 && after.head.getAs[String]("name") == "Ada",
+      "CRUD rewrite lost the committed columns")
+  }
 }

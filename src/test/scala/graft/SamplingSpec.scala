@@ -113,4 +113,14 @@ class SamplingSpec extends AnyFunSuite {
       .select("epoch").collect().map(_.getInt(0)).sorted
     assert(eps.sameElements(Array(1, 2, 3)))
   }
+
+  test("epoch mix: epochs <= 0 drops the group (sequence(1,0) counts DOWN)") {
+    // the natural exclude spelling — must emit ZERO rows, not the two
+    // ([1,0]) a bare sequence(1, 0) explode would produce
+    val epochs = Seq(("grp0", 0), ("grp1", -2)).toDF("group", "epochs")
+    val out = Sampling.epochMix(rows, col("grp"), epochs)
+    val grps = out.select("grp").distinct().collect().map(_.getString(0)).toSet
+    assert(grps == Set("grp2", "grp3", "grp4"), s"got $grps")
+    assert(out.count() == 3 * 400L) // remaining groups at the default 1 epoch
+  }
 }

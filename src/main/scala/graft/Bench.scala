@@ -37,6 +37,11 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // dev A/B knob: "k=v;k2=v2" extra confs for tuning experiments (the
+    // driver's round run sets nothing, so committed numbers use the
+    // defaults above)
+    sys.env.get("GRAFT_BENCH_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     if (master.startsWith("local-cluster")) {
       b.config("spark.executor.memory", "8g")
        .config("spark.jars", freshJar())
@@ -100,13 +105,15 @@ object Bench {
     }
     val pages = Fixtures.scaleSitePages(spark, cfg).toDF()
 
-    // response handling (S6/P12/F5/F8/F6) — map-only pass
+    // response handling (S6/P12/F5/F8/F6) — map-only pass; sniff/is_doc/
+    // title come from the fused pageParseUdf (one byte[] copy per page,
+    // not one per UDF — same fusion the Scheduler's GET handler uses)
     val fetched = pages
       .withColumn("host", Funcs.hostUdf($"url"))
-      .withColumn("sniff", Funcs.sniffUdf($"html"))
-      .withColumn("is_doc", $"sniff" === "text/html; charset=utf-8" ||
-        $"sniff" === "text/plain; charset=utf-8")
-      .withColumn("title", when($"is_doc", Funcs.titleUdf($"html")))
+      .withColumn("pp", Funcs.pageParseUdf($"html"))
+      .withColumn("sniff", $"pp._1")
+      .withColumn("is_doc", $"pp._2")
+      .withColumn("title", $"pp._3")
       .withColumn("body_hash", Funcs.multihash($"html"))
     val row = fetched.agg(count(lit(1)), count($"title"), count($"sniff"),
       max(length($"body_hash")), approx_count_distinct($"host")).head()
@@ -117,6 +124,11 @@ object Bench {
     // a string-keyed distinct + anti-join
     val links = pages.select($"url".as("src"),
       posexplode(Funcs.extractLinksUdf($"url", $"html")).as(Seq("idx", "dst")))
+    // NOTE: no join hint here — a ResolvedHint is an optimizer barrier that
+    // stops Catalyst pushing the anti-join below the distinct's partial
+    // aggregate (measured: the hinted plan re-exchanges both sides above
+    // the distinct, 1.6x slower). The SHJ-over-SMJ preference is session
+    // conf instead (see kernelSession).
     val newUrls = links.select($"dst".as("url")).distinct()
       .join(Fixtures.scaleSiteUrls(spark, cfg).toDF("url"), Seq("url"), "left_anti")
     newUrls.count()
@@ -128,6 +140,14 @@ object Bench {
       cfg: Fixtures.ScaleConfig): (Double, Long, Double, Double) = {
     // fixed shuffle layout at both levels: only worker parallelism varies
     val spark = session(master, shufflePartitions = math.max(cfg.partitions, 32))
+    // hash-join the URL-seen anti-join instead of sort-merging it: string
+    // sorts dominate the merge path (measured ~8% of the 32-core dedup
+    // phase). Scale-safe because only the BUILD side (per-partition slice
+    // of the probe table) must fit in memory, and partition count grows
+    // with the table — 10^10 urls at AQE's 64MB target partitions is a
+    // few MB of build per task; the engine's J8 probes a bucket-pruned
+    // O(delta) slice, smaller still. Applied at BOTH parallelism levels.
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     try {
       // JIT/codegen warmup on a smaller run of the same plan
       waveKernel(spark, cfg.copy(hosts = math.max(cfg.hosts / 16, 8)))
@@ -158,8 +178,21 @@ object Bench {
     * cluster sizes start JIT-cold, against a local-cluster master — real
     * separate executor JVMs with real inter-process shuffles (the sandbox
     * equivalent of spark-submit at N vs 4N executors). */
+  /** Quiesce the box before a measurement subprocess: flush dirty pages and
+    * give the OS time to finish reclaiming the PREVIOUS subprocess's memory
+    * and shuffle files. Back-to-back 32-thread JVMs otherwise steal memory
+    * bandwidth from each other through async writeback — measured as a
+    * 10-25% inflation of the successor's wall time (t_local8 16.9s in a
+    * back-to-back ladder vs 13.6s isolated on the same box). */
+  private def settle(): Unit = {
+    try new ProcessBuilder("sync").start().waitFor()
+    catch { case _: Throwable => () }
+    Thread.sleep(15000)
+  }
+
   private def kernelInSubprocess(master: String,
       cfg: Fixtures.ScaleConfig): (Double, Long, Double, Double) = {
+    settle()
     val javaHome = System.getProperty("java.home")
     val cp = System.getProperty("java.class.path")
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -199,6 +232,7 @@ object Bench {
     * phase times at 8 and 32 threads (m8, m32, s8, s32) — the same-session
     * machine ceiling the kernel's 8→32 axis is judged against. */
   private def probeInSubprocess(): (Double, Double, Double, Double) = {
+    settle()
     val javaHome = System.getProperty("java.home")
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(s"$javaHome/bin/java", "-Xmx16g", "-cp", cp, "graft.ThreadScaleProbe")
@@ -268,7 +302,12 @@ object Bench {
     // is only interpretable against a ceiling captured at the same moment
     val probe = if (skipScaling) (1.0, 1.0, 1.0, 1.0) else probeInSubprocess()
     val round2 = if (skipScaling) zeroes else masters.map(kernelInSubprocess(_, scaleCfg))
-    val best = round1.zip(round2).map { case (a, b) => if (a._1 <= b._1) a else b }
+    // third interleaved round: hypervisor-neighbor noise on this box swings
+    // a single measurement ±15%, and min-of-2 still let one noisy level
+    // distort a ratio by ~10% (round-3's committed 8→32 axis); min-of-3
+    // approximates the uncontended time at each level
+    val round3 = if (skipScaling) zeroes else masters.map(kernelInSubprocess(_, scaleCfg))
+    val best = Seq(round1, round2, round3).transpose.map(_.minBy(_._1))
     val Seq(t2, t4, t8, t16, t32) = best.map(_._1)
 
     // ---- the same 8→32 axis with REAL separate executor JVMs: 2 vs 8

@@ -21,7 +21,9 @@ object ThreadScaleProbe {
   def main(args: Array[String]): Unit = {
     val cfg = Fixtures.ScaleConfig(hosts = 2048, pagesPerHost = 512, outDegree = 16)
     val total = 400000
-    val linkPages = 200000 // pages in the shuffle phase (x outDegree dsts)
+    val linkPages = 600000 // pages in the shuffle phase (x outDegree dsts):
+    // sized so the 8-thread phase runs ~2s — the old 200k finished in 0.6s,
+    // where scheduler jitter alone swings the 8->32 ratio by 2x
 
     def work(lo: Int, hi: Int): Long = {
       var acc = 0L
@@ -101,12 +103,17 @@ object ThreadScaleProbe {
     }
 
     runMap(4); runShuffle(4) // warmup JIT
-    val m8a = runMap(8); val m32a = runMap(32)
-    val s8a = runShuffle(8); val s32a = runShuffle(32)
-    val m32b = runMap(32); val m8b = runMap(8)
-    val s32b = runShuffle(32); val s8b = runShuffle(8)
-    val m8 = math.min(m8a, m8b); val m32 = math.min(m32a, m32b)
-    val s8 = math.min(s8a, s8b); val s32 = math.min(s32a, s32b)
+    // three interleaved reps per level, min kept: single-box timings drift
+    // several percent run to run (hypervisor neighbors, allocator state),
+    // and interleaving means a slow machine phase hits both levels alike
+    // instead of biasing the ratio
+    val reps = (0 until 3).map { _ =>
+      val m8 = runMap(8); val m32 = runMap(32)
+      val s8 = runShuffle(8); val s32 = runShuffle(32)
+      (m8, m32, s8, s32)
+    }
+    val m8 = reps.map(_._1).min; val m32 = reps.map(_._2).min
+    val s8 = reps.map(_._3).min; val s32 = reps.map(_._4).min
     // machine-parseable line for Bench (same-session ceiling evidence)
     println(f"PROBE $m8%.3f $m32%.3f $s8%.3f $s32%.3f")
     println(f"THREADS map t8=$m8%.2f t32=$m32%.2f eff=${m8 / m32 / 4}%.2f | " +

@@ -535,10 +535,13 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
 
     // ---- 5. response handlers (P12 mux)
     val getOk = fetched.filter($"method" === "GET" && $"found")
-      .withColumn("sniff", Funcs.sniffUdf($"html"))
-      .withColumn("is_doc",
-        $"sniff" === "text/html; charset=utf-8" || $"sniff" === "text/plain; charset=utf-8")
-      .withColumn("title", when($"is_doc", Funcs.titleUdf($"html")).otherwise(lit(null)))
+      // fused sniff/is_doc/title: one byte[] copy of the body per row
+      // instead of one per UDF (identical semantics to the separate calls)
+      .withColumn("pp_", Funcs.pageParseUdf($"html"))
+      .withColumn("sniff", $"pp_._1")
+      .withColumn("is_doc", $"pp_._2")
+      .withColumn("title", $"pp_._3")
+      .drop("pp_")
       .withColumn("file_name_new",
         when(!$"is_doc" && !$"sniff".isin(sniffUnwanted: _*), fileNameCol($"url"))
           .otherwise(lit(null)))

@@ -61,6 +61,19 @@ object Funcs {
   /** F8: title extraction (goquery Find("title").Text()). */
   val titleUdf = udf((body: Array[Byte]) => LinkExtract.titleFromBody(body))
 
+  /** F5+F8 fused: one UDF returning (sniff, is_doc, title). Semantically
+    * identical to sniffUdf + the is_doc predicate + titleUdf-when-doc, but
+    * the body bytes cross the UDF boundary ONCE — each separate binary UDF
+    * pays its own byte[] copy of the (KBs-sized) page, and on a 32-core
+    * wave that copy traffic is memory-bus time (measured ~10% of the map
+    * phase). Title is null for non-docs, matching the when() spelling. */
+  val pageParseUdf = udf { (body: Array[Byte]) =>
+    val sniff = Sniff.detectContentType(body)
+    val isDoc = sniff == "text/html; charset=utf-8" ||
+      sniff == "text/plain; charset=utf-8"
+    (sniff, isDoc, if (isDoc) LinkExtract.titleFromBody(body) else null)
+  }
+
   /** Visible-text extraction (input_hint invariant: extracted text per url). */
   val extractTextUdf = udf((body: Array[Byte]) =>
     HtmlTok.extractText(HtmlTok.bytesToString(body)))

@@ -965,6 +965,20 @@ object SparkEntry {
         .groupBy("shard").agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))),
 
+    // X6: sequence packing — concat-and-chunk into 256-token training
+    // sequences across 4 independent pack shards; order inside a shard is
+    // (hash, doc_id), a pure function of the data, so the oracle replays
+    // the identical running sum and every engine packs identically
+    "x6_seq_pack" -> ((s, d) => {
+      val txt = trim(col("text"))
+      val docs = t(s, d, "documents").withColumn("n_tokens",
+        when(length(txt) === 0, lit(0L))
+          .otherwise((length(txt) - length(replace(txt, lit(" "), lit(""))) + 1).cast("long")))
+      Sampling.packSequences(docs, col("doc_id"), col("n_tokens"),
+          budget = 256L, nShards = 4, salt = "pk")
+        .select("doc_id", "shard", "seq_id", "seq_offset", "n_tokens")
+    }),
+
     // J11: explicit salted join for known-skew keys (ops/Skew) — the
     // events side is collapsed to 5 mega-keys; the salted plan must return
     // EXACTLY the plain join's rows (salting only re-partitions work)
@@ -1107,6 +1121,13 @@ object SparkEntry {
        "(SELECT doc_id, ((strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || 'sh'), 1, 1)) - 1) * 16 + " +
        "(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || 'sh'), 2, 1)) - 1)) % 10 AS shard FROM documents) " +
        "GROUP BY shard"),
+    "x6_seq_pack" ->
+      ("WITH docs AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens, " +
+       "((strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || 'pk'), 1, 1)) - 1) * 16 + " +
+       "(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || 'pk'), 2, 1)) - 1)) % 4 AS shard, " +
+       "substr(sha256(CAST(doc_id AS VARCHAR) || 'pk'), 1, 8) AS h FROM documents), " +
+       "c AS (SELECT doc_id, shard, n_tokens, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev FROM docs) " +
+       "SELECT doc_id, shard, CAST(prev // 256 AS BIGINT) AS seq_id, CAST(prev % 256 AS BIGINT) AS seq_offset, n_tokens FROM c"),
     "j11_salted_join" ->
       "SELECT event_id, user_id % 5 AS bucket5, 'shard-' || CAST(user_id % 5 AS VARCHAR) AS bucket_name FROM events",
     "j10_asof_join" ->

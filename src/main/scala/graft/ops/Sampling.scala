@@ -98,6 +98,47 @@ object Sampling {
     df.withColumn("shard", pmod(v, lit(n)))
   }
 
+  /** Sequence packing — the concat-and-chunk step that turns a document
+    * corpus into fixed-token-budget training sequences: documents are
+    * (conceptually) concatenated in a deterministic pseudo-random order and
+    * the stream is cut every `budget` tokens. Each document is mapped to
+    * the sequence it STARTS in and its token offset there; a document
+    * longer than the remaining room simply spans into the next sequence(s)
+    * (the standard packing-with-crossdoc-boundaries used when attention
+    * masks separate documents).
+    *
+    * Scale shape: packing is inherently sequential — a document's offset
+    * depends on every document before it — so the corpus is first split
+    * into `nShards` independent pack units by key hash (map-only, the
+    * [[assignShards]] rule), and the sequential scan runs per shard: ONE
+    * shuffle on shard, then a per-shard sort + running sum window. Shard
+    * count is the parallelism knob — size it so corpus/nShards rows sort
+    * in one task (at 100 TB that means thousands of shards, each becoming
+    * one output file, which is how packing jobs shard in practice).
+    * Determinism: order inside a shard is (hash-prefix, key) — a pure
+    * function of the data, so re-runs, resumes, and different cluster
+    * sizes pack identically (Spark's own ordering-free cumsum could not
+    * be oracle-checked).
+    *
+    * Output: every input column plus (shard, seq_id, seq_offset) —
+    * seq_id = floor(prev_tokens / budget) counted per shard,
+    * seq_offset = prev_tokens % budget. All integer arithmetic. */
+  def packSequences(df: DataFrame, key: Column, tokensCol: Column,
+      budget: Long, nShards: Int, salt: String = ""): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val sharded = assignShards(df, key, nShards, salt)
+      .withColumn("_p_hash", prefix(key, salt))
+      .withColumn("_p_tok", tokensCol.cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_p_hash"), key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("_p_prev", coalesce(sum(col("_p_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"_p_prev div ${budget}L")) // integer div, never float
+      .withColumn("seq_offset", col("_p_prev") % budget)
+      .drop("_p_hash", "_p_tok", "_p_prev")
+  }
+
   /** Per-group quota (stratified cap): keep at most `k` rows per group,
     * chosen by hash order (deterministic, unbiased by ingest order) with
     * the key as tiebreak. The rank filter is a constant bound, so Spark 4's

@@ -114,6 +114,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(eps.sameElements(Array(1, 2, 3)))
   }
 
+  test("sequence packing: per-shard running sum, budget arithmetic, determinism") {
+    val docs = rows.withColumn("toks", (col("id") % 37) + 1)
+    val a = Sampling.packSequences(docs.repartition(2), col("id"), col("toks"),
+      budget = 100L, nShards = 4, salt = "p")
+    val b = Sampling.packSequences(docs.repartition(11), col("id"), col("toks"),
+      budget = 100L, nShards = 4, salt = "p")
+    val ra = a.select("id", "shard", "seq_id", "seq_offset").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val rb = b.select("id", "shard", "seq_id", "seq_offset").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(ra.sameElements(rb), "packing depends on the physical partitioning")
+    // every offset is inside the budget and every input row survives
+    assert(ra.length == 2000)
+    assert(ra.forall { case (_, _, q, o) => q >= 0 && o >= 0 && o < 100 })
+    // per shard: replay the running sum sequentially and compare exactly
+    val byShard = a.select("shard", "id", "toks", "seq_id", "seq_offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    assert(byShard.keySet == Set(0, 1, 2, 3))
+    // hash order within a shard is recomputable: sort by the same sha prefix
+    def hex8(id: Long): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"${id}p".getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+    byShard.foreach { case (_, members) =>
+      var cum = 0L
+      members.sortBy { case (_, id, _, _, _) => (hex8(id), id) }.foreach {
+        case (_, _, toks, seqId, off) =>
+          assert(seqId == cum / 100 && off == cum % 100)
+          cum += toks
+      }
+    }
+  }
+
   test("epoch mix: epochs <= 0 drops the group (sequence(1,0) counts DOWN)") {
     // the natural exclude spelling — must emit ZERO rows, not the two
     // ([1,0]) a bare sequence(1, 0) explode would produce

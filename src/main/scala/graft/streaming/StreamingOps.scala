@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators for a continuously-fed crawl/corpus pipeline
+  * (SURVEY §2.8) — the pieces a long-running deployment needs when link
+  * discovery arrives as an unbounded stream instead of per-wave batches.
+  *
+  * Both operators keep their state BOUNDED and distributed: the dedup's
+  * key state is evicted by the event-time watermark, and the sequencer
+  * holds one long per host, partitioned by the group key across executors
+  * (the same host-hash shuffle the batch scheduler uses). Nothing here
+  * collects to the driver; state lives in the streaming state store with
+  * checkpointed exactly-once semantics.
+  */
+object StreamingOps {
+
+  /** Streaming URL-seen dedup with watermark-bounded state: the streaming
+    * twin of the batch J8 anti-join. Each url is emitted the first time it
+    * is seen; re-sights within the watermark window are dropped exactly,
+    * and state for urls older than the watermark is evicted — so the state
+    * store holds O(urls per watermark window), not the full crawl history
+    * (the full history belongs to the batch-side urls table + sharded
+    * bloom; a deployment composes both: stream-dedup bounds the enqueue
+    * storm, the wave's exact anti-join against the store is authoritative).
+    */
+  def seenDedupStream(links: DataFrame, tsCol: String,
+      watermarkDelay: String): DataFrame =
+    links.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("url")
+
+  case class SeqIn(host: String, url: String, ts: java.sql.Timestamp)
+  case class SeqOut(host: String, url: String, ts: java.sql.Timestamp, seq: Long)
+  /** One long per host — the entire per-key state of [[hostFifoSeq]]. */
+  case class HostSeqState(next: Long)
+
+  /** Per-host FIFO sequence numbers across an unbounded stream — the
+    * streaming twin of the batch scheduler's T3 per-host seq column
+    * (`flatMapGroupsWithState` custom state: one counter per host,
+    * carried across micro-batches through the checkpointed state store).
+    * Rows within a micro-batch order deterministically by (ts, url), so a
+    * replayed batch assigns identical sequence numbers — the property
+    * that keeps crawl ordering reproducible on streaming restart.
+    *
+    * Scale shape: the groupByKey shuffles rows by host hash (exactly the
+    * batch wave's per-host exchange); state per host is 8 bytes; a host's
+    * per-batch rows pass through one task. Mega-hosts are bounded by the
+    * upstream politeness budget, not by this operator.
+    */
+  def hostFifoSeq(links: Dataset[SeqIn]): Dataset[SeqOut] = {
+    import links.sparkSession.implicits._
+    links.groupByKey(_.host)
+      .flatMapGroupsWithState[HostSeqState, SeqOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (host: String, rows: Iterator[SeqIn], state: GroupState[HostSeqState]) =>
+          val start = state.getOption.map(_.next).getOrElse(0L)
+          val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.url))
+          state.update(HostSeqState(start + sorted.length))
+          sorted.iterator.zipWithIndex.map { case (r, i) =>
+            SeqOut(host, r.url, r.ts, start + i)
+          }
+      }
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{SeqIn, SeqOut}
+import java.sql.Timestamp
+
+/** Stateful streaming ops: exactly-once dedup emission and cross-batch
+  * custom state, driven through MemoryStream micro-batches. */
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("seenDedupStream emits each url exactly once across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Timestamp)]
+    val q = StreamingOps.seenDedupStream(in.toDF().toDF("url", "ts"), "ts", "10 seconds")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData(("a", ts(1)), ("b", ts(2)), ("a", ts(3))) // in-batch dup
+      q.processAllAvailable()
+      in.addData(("a", ts(4)), ("c", ts(5))) // cross-batch dup inside watermark
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("url").as[String].collect().sorted
+      assert(got.sameElements(Array("a", "b", "c")), s"got ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("hostFifoSeq: per-host counters persist across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SeqIn]
+    val q = StreamingOps.hostFifoSeq(in.toDS())
+      .writeStream.format("memory").queryName("seq_out").outputMode("append").start()
+    try {
+      // batch 1: two urls on h1 (out of ts order — must sort), one on h2
+      in.addData(SeqIn("h1", "u2", ts(2)), SeqIn("h1", "u1", ts(1)),
+        SeqIn("h2", "v1", ts(1)))
+      q.processAllAvailable()
+      // batch 2: counters must CONTINUE from the state store, not restart
+      in.addData(SeqIn("h1", "u3", ts(3)), SeqIn("h2", "v2", ts(4)))
+      q.processAllAvailable()
+      val got = spark.table("seq_out").as[SeqOut].collect()
+        .map(r => (r.host, r.url, r.seq)).sorted.toSeq
+      assert(got == Seq(("h1", "u1", 0L), ("h1", "u2", 1L), ("h1", "u3", 2L),
+        ("h2", "v1", 0L), ("h2", "v2", 1L)), s"got $got")
+    } finally q.stop()
+  }
+}

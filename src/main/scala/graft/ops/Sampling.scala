@@ -89,12 +89,19 @@ object Sampling {
     * (first two hex digits of sha256(key||salt) as an int in [0,256)) mod n
     * — uniform for n ≤ 256, recomputable in any engine with a sha256 and
     * string ops. Map-only; the downstream `repartition(col("shard"))` (or
-    * partitionBy on write) is the single intentional exchange. */
+    * partitionBy on write) is the single intentional exchange.
+    *
+    * n ≤ 256 reads two hex digits (8 hash bits — exactly uniform when n
+    * divides 256; this recipe is oracle-pinned, never change it); larger n
+    * reads four digits (16 bits, near-uniform mod bias ≤ n/65536), which
+    * is the path a 100 TB corpus uses — thousands of shards so each packs/
+    * writes in one task. */
   def assignShards(df: DataFrame, key: Column, n: Int,
       salt: String = ""): DataFrame = {
-    require(n > 0 && n <= 256, s"n must be in [1,256], got $n")
+    require(n > 0 && n <= 65536, s"n must be in [1,65536], got $n")
     val h = sha2(concat(key.cast("string"), lit(salt)), 256)
-    val v = conv(substring(h, 1, 2), 16, 10).cast("int")
+    val digits = if (n <= 256) 2 else 4
+    val v = conv(substring(h, 1, digits), 16, 10).cast("int")
     df.withColumn("shard", pmod(v, lit(n)))
   }
 

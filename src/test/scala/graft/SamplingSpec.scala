@@ -100,6 +100,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(sizes.forall(n => n > 65 && n < 185), s"skewed shards: $sizes")
   }
 
+  test("shard assignment beyond 256 shards (the 100 TB packing path)") {
+    val a = Sampling.assignShards(rows.repartition(3), col("id"), 1000, "z")
+      .select("id", "shard").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val b = Sampling.assignShards(rows.repartition(7), col("id"), 1000, "z")
+      .select("id", "shard").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(a.sortBy(_._1).sameElements(b.sortBy(_._1)))
+    assert(a.forall { case (_, s) => s >= 0 && s < 1000 })
+    // 2000 keys over 1000 shards: occupancy should be broad (≈864 expected)
+    assert(a.map(_._2).distinct.length > 700)
+  }
+
   test("epoch mix repeats rows per group factor; unweighted default 1") {
     val epochs = Seq(("grp0", 3), ("grp1", 2)).toDF("group", "epochs")
     val out = Sampling.epochMix(rows, col("grp"), epochs)

@@ -89,6 +89,18 @@ class AsOfSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("p") == 5.0)
   }
 
+  test("plan: one key exchange, zero join operators (never a pair blow-up)") {
+    val out = AsOf.asOfJoin(trades, quotes, "sym", "tts", "qts",
+      Map("px" -> "p"))
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"as-of compiled to a join (O(L*R) candidate risk):\n${plan.take(1500)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly 1 key exchange, got $exchanges:\n${plan.take(1500)}")
+  }
+
   test("matches a brute-force oracle on a random-ish dense fixture") {
     val left = (0L until 400L).map(i =>
       (s"k${i % 7}", ts(i * 13 % 101), i)).toDF("k", "lts", "lid")

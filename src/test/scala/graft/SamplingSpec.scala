@@ -100,6 +100,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(sizes.forall(n => n > 65 && n < 185), s"skewed shards: $sizes")
   }
 
+  test("sequence packing plan: map-only sharding + one pack-window exchange") {
+    val docs = rows.withColumn("toks", (col("id") % 37) + 1)
+    val out = Sampling.packSequences(docs, col("id"), col("toks"),
+      budget = 100L, nShards = 8, salt = "p")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly 1 exchange (the per-shard pack window), got $exchanges:\n${plan.take(1500)}")
+  }
+
   test("shard assignment beyond 256 shards (the 100 TB packing path)") {
     val a = Sampling.assignShards(rows.repartition(3), col("id"), 1000, "z")
       .select("id", "shard").collect().map(r => (r.getLong(0), r.getInt(1)))

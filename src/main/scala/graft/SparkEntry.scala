@@ -909,6 +909,20 @@ object SparkEntry {
         .select(col("src"), ((col("src") + col("j") * col("j")) % col("n")).as("dst"))
       Graph.pageRankScaled(edges, iters = 5)
     }),
+    // G3: personalized (seeded-teleport) PageRank — seed-proximity scores
+    // for frontier prioritization; same synthetic graph as g1, seeds are
+    // doc_id < 3, exact-integer scaled twin vs an unrolled-CTE oracle
+    "g3_personalized_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(nDf)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), (lit(1) + col("doc_id") % 3).cast("int"))).as("j"),
+          col("n"))
+        .select(col("src"), ((col("src") + col("j") * col("j")) % col("n")).as("dst"))
+      Graph.personalizedPageRankScaled(edges,
+        docs.filter(col("doc_id") < 3).select(col("doc_id").as("id")), iters = 5)
+    }),
     "g2_crawl_depth" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"))
       val nDf = docs.agg(count(lit(1)).as("n"))
@@ -1335,6 +1349,17 @@ object SparkEntry {
         "r3 AS (SELECT we.dst AS id, CAST(259200 + sum(we.w * r2.s) AS BIGINT) AS s FROM we JOIN r2 ON r2.id = we.src GROUP BY we.dst), " +
         "r4 AS (SELECT we.dst AS id, CAST(31104000 + sum(we.w * r3.s) AS BIGINT) AS s FROM we JOIN r3 ON r3.id = we.src GROUP BY we.dst), " +
         "r5 AS (SELECT we.dst AS id, CAST(3732480000 + sum(we.w * r4.s) AS BIGINT) AS s FROM we JOIN r4 ON r4.id = we.src GROUP BY we.dst) " +
+        "SELECT id, s AS s_rank FROM r5"),
+    "g3_personalized_pagerank" ->
+      ("WITH e AS (SELECT DISTINCT doc_id AS src, (doc_id + j*j) % (SELECT count(*) FROM documents) AS dst " +
+        "FROM documents, (SELECT unnest(range(1,4)) AS j) js WHERE j <= 1 + doc_id % 3), " +
+        "we AS (SELECT src, dst, 102 // (count(*) OVER (PARTITION BY src)) AS w FROM e), " +
+        "r0 AS (SELECT doc_id AS id, CAST(CASE WHEN doc_id < 3 THEN 1 ELSE 0 END AS BIGINT) AS s FROM documents), " +
+        "r1 AS (SELECT we.dst AS id, CAST((CASE WHEN we.dst < 3 THEN 18 ELSE 0 END) + sum(we.w * r0.s) AS BIGINT) AS s FROM we JOIN r0 ON r0.id = we.src GROUP BY we.dst), " +
+        "r2 AS (SELECT we.dst AS id, CAST((CASE WHEN we.dst < 3 THEN 2160 ELSE 0 END) + sum(we.w * r1.s) AS BIGINT) AS s FROM we JOIN r1 ON r1.id = we.src GROUP BY we.dst), " +
+        "r3 AS (SELECT we.dst AS id, CAST((CASE WHEN we.dst < 3 THEN 259200 ELSE 0 END) + sum(we.w * r2.s) AS BIGINT) AS s FROM we JOIN r2 ON r2.id = we.src GROUP BY we.dst), " +
+        "r4 AS (SELECT we.dst AS id, CAST((CASE WHEN we.dst < 3 THEN 31104000 ELSE 0 END) + sum(we.w * r3.s) AS BIGINT) AS s FROM we JOIN r3 ON r3.id = we.src GROUP BY we.dst), " +
+        "r5 AS (SELECT we.dst AS id, CAST((CASE WHEN we.dst < 3 THEN 3732480000 ELSE 0 END) + sum(we.w * r4.s) AS BIGINT) AS s FROM we JOIN r4 ON r4.id = we.src GROUP BY we.dst) " +
         "SELECT id, s AS s_rank FROM r5"),
     "g2_crawl_depth" ->
       ("WITH RECURSIVE e AS (SELECT DISTINCT doc_id AS src, (doc_id + j*j) % (SELECT count(*) FROM documents) AS dst " +

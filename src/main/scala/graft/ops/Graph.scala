@@ -114,6 +114,60 @@ object Graph {
     ranks.select(col("id"), col("s").as("s_rank"))
   }
 
+  /** Personalized PageRank (seeded teleport), exact-integer scaled twin —
+    * the seed-proximity score a crawl frontier prioritizer actually wants:
+    * teleport mass returns only to the SEED set, so rank measures "how
+    * reachable from my seeds", not global popularity.
+    *
+    * Same scaled-integer derivation as [[pageRankScaled]] with the teleport
+    * masked to seeds: r_0 uniform on the m seeds, r_{k+1}(v) =
+    * (3/20m)·[v∈S] + (17/20)·Σ_{u→v} r_k(u)/d_u; with S_k = r_k·m·120^k,
+    *   S_{k+1}(v) = 18·120^k·[v∈S] + Σ_{u→v} (102/d_u)·S_k(u)
+    * — exact in integers under the same divisibility/sink-free
+    * preconditions (asserted). Plan per iteration is identical to
+    * pageRankScaled's: one edge join on src, one groupBy(dst) sum.
+    * Returns (id, s_rank) with r_k = s_rank / (m · 120^k); unreached
+    * nodes score 0 exactly. */
+  def personalizedPageRankScaled(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters <= 8, s"scaled ranks overflow past 8 iterations (got $iters)")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val seedFlag = seeds.select(col("id").cast("long").as("id"))
+      .distinct().withColumn("is_seed", lit(true))
+    val flagged = nodes.join(seedFlag, Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val badDeg = deg.filter(lit(102) % col("d") =!= 0).limit(1).count()
+    require(badDeg == 0, "personalizedPageRankScaled requires every out-degree to divide 102")
+    val sinkCount = nodes.join(deg, nodes("id") === deg("src"), "left_anti").count()
+    require(sinkCount == 0, s"personalizedPageRankScaled requires a sink-free graph ($sinkCount sinks)")
+    val we = e.join(deg, Seq("src"))
+      .select(col("src"), col("dst"), (lit(102L) / col("d")).cast("long").as("w"))
+      .localCheckpoint(true)
+
+    var ranks = flagged
+      .select(col("id"), when(col("is_seed"), lit(1L)).otherwise(lit(0L)).as("s"))
+      .localCheckpoint(true)
+    var unit = 1L // 120^k: the per-round seed teleport term 18 * 120^k
+    for (_ <- 1 to iters) {
+      val contribs = we.join(ranks, we("src") === ranks("id"))
+        .select(col("dst").as("id"), (col("w") * col("s")).as("c"))
+        .groupBy("id").agg(sum("c").as("in_s"))
+      ranks = flagged.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed"), lit(18L * unit)).otherwise(lit(0L)) +
+            coalesce(col("in_s"), lit(0L))).as("s"))
+        .localCheckpoint(true)
+      unit *= 120L
+    }
+    ranks.select(col("id"), col("s").as("s_rank"))
+  }
+
   /** Crawl depth: minimum hop distance from a seed set along directed
     * edges, capped at `maxDepth` (BFS by frontier expansion — the audit
     * pass "how deep did the crawl get from its seeds", and the standard

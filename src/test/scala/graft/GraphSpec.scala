@@ -73,6 +73,41 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pageRankScaled(deg4, 2))
   }
 
+  /** Driver-side personalized (seeded-teleport) reference: r_0 uniform on
+    * seeds, teleport (0.15/m) only to seeds. */
+  private def refPersonalized(seeds: Set[Long], iters: Int): Map[Long, Double] = {
+    val out = edgeList.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val m = seeds.size.toDouble
+    var r = (0 until n).map(i =>
+      i.toLong -> (if (seeds(i.toLong)) 1.0 / m else 0.0)).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      out.foreach { case (u, ds) => ds.foreach(v => in(v) += r(u) / ds.size) }
+      r = (0 until n).map { i =>
+        val tele = if (seeds(i.toLong)) 0.15 / m else 0.0
+        i.toLong -> (tele + 0.85 * in(i.toLong))
+      }.toMap
+    }
+    r
+  }
+
+  test("personalizedPageRankScaled is the exact seeded twin; mass conserved") {
+    val seeds = Set(0L, 3L, 17L)
+    val scaled = Graph.personalizedPageRankScaled(edges, seeds.toSeq.toDF("id"),
+        iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dbl = refPersonalized(seeds, 5)
+    val denom = seeds.size.toDouble * math.pow(120.0, 5)
+    assert(scaled.keySet == dbl.keySet)
+    scaled.foreach { case (id, s) =>
+      assert(math.abs(s / denom - dbl(id)) < 1e-12, s"node $id")
+    }
+    // total mass exactly m * 120^k (personalized rank total stays 1)
+    assert(scaled.values.sum == seeds.size.toLong * 120L * 120L * 120L * 120L * 120L)
+    // seed bias: mass concentrates near seeds vs the global ranking
+    assert(seeds.forall(s => scaled(s) > 0L))
+  }
+
   test("crawlDepth matches driver-side BFS with depth cap") {
     val seeds = Seq(0L, 7L).toDF("id")
     val cap = 4

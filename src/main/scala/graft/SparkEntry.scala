@@ -993,6 +993,14 @@ object SparkEntry {
         .select("doc_id", "shard", "seq_id", "seq_offset", "n_tokens")
     }),
 
+    // X7: deterministic global row enumeration — contiguous corpus-wide
+    // ids in hash-canonical order WITHOUT a single-partition sort (hash
+    // first-byte range buckets + offsets + per-bucket window); the oracle
+    // is the naive one-partition row_number the op refuses to run
+    "x7_global_ids" -> ((s, d) =>
+      Sampling.globalRowNumbers(t(s, d, "documents"), col("doc_id"), salt = "g")
+        .select("doc_id", "global_id")),
+
     // J11: explicit salted join for known-skew keys (ops/Skew) — the
     // events side is collapsed to 5 mega-keys; the salted plan must return
     // EXACTLY the plain join's rows (salting only re-partitions work)
@@ -1135,6 +1143,8 @@ object SparkEntry {
        "(SELECT doc_id, ((strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || 'sh'), 1, 1)) - 1) * 16 + " +
        "(strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || 'sh'), 2, 1)) - 1)) % 10 AS shard FROM documents) " +
        "GROUP BY shard"),
+    "x7_global_ids" ->
+      "SELECT doc_id, row_number() OVER (ORDER BY substr(sha256(CAST(doc_id AS VARCHAR) || 'g'), 1, 8), doc_id) - 1 AS global_id FROM documents",
     "x6_seq_pack" ->
       ("WITH docs AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens, " +
        "((strpos('0123456789abcdef', substr(sha256(CAST(doc_id AS VARCHAR) || 'pk'), 1, 1)) - 1) * 16 + " +

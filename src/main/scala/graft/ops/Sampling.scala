@@ -146,6 +146,39 @@ object Sampling {
       .drop("_p_hash", "_p_tok", "_p_prev")
   }
 
+  /** Deterministic global row enumeration: contiguous ids 0..n-1 over the
+    * whole corpus in a canonical order (hash of the key, then the key) —
+    * the stable document-id assignment a training pipeline needs, without
+    * ever sorting the corpus in one partition.
+    *
+    * The naive spelling — `row_number() OVER (ORDER BY ...)` with no
+    * partition — funnels 100 TB through a single task. The scalable shape
+    * exploits that the sort key IS a hash: its first byte range-partitions
+    * the order into 256 hash-uniform buckets, so global position = (sum of
+    * whole buckets before mine) + (rank within my bucket). One groupBy for
+    * the 256 bucket counts, a 256-row cumsum (the only single-partition
+    * step — over BUCKETS, not rows), a broadcast join of the offsets, and
+    * a per-bucket window. No driver collect; skew-immune by hash
+    * uniformity. Identical ids at any parallelism, on resume, and across
+    * engines (the oracle is one plain row_number). */
+  def globalRowNumbers(df: DataFrame, key: Column, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df
+      .withColumn("_g_hash", prefix(key, salt))
+      .withColumn("_g_bucket", conv(substring(col("_g_hash"), 1, 2), 16, 10).cast("int"))
+    val counts = hashed.groupBy("_g_bucket").agg(count(lit(1)).as("_g_n"))
+    val offsets = counts
+      .withColumn("_g_offset", coalesce(
+        sum("_g_n").over(Window.orderBy("_g_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_g_bucket", "_g_offset")
+    hashed.join(broadcast(offsets), Seq("_g_bucket"))
+      .withColumn("global_id", col("_g_offset") +
+        row_number().over(Window.partitionBy("_g_bucket")
+          .orderBy(col("_g_hash"), key)).cast("long") - 1)
+      .drop("_g_hash", "_g_bucket", "_g_offset")
+  }
+
   /** Per-group quota (stratified cap): keep at most `k` rows per group,
     * chosen by hash order (deterministic, unbiased by ingest order) with
     * the key as tiebreak. The rank filter is a constant bound, so Spark 4's

@@ -122,6 +122,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.length > 700)
   }
 
+  test("global row numbers: contiguous 0..n-1, hash-canonical, parallelism-proof") {
+    val a = Sampling.globalRowNumbers(rows.repartition(2), col("id"), "g")
+      .select("id", "global_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Sampling.globalRowNumbers(rows.repartition(13), col("id"), "g")
+      .select("id", "global_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // exactly 0..n-1, each once
+    assert(a.map(_._2).sorted.toSeq == (0L until 2000L).toSeq)
+    // id order agrees with the (sha-prefix, id) canonical order
+    def hex8(id: Long): String = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"${id}g".getBytes("UTF-8")).take(4).map(x => f"${x & 0xff}%02x").mkString
+    val want = a.map(_._1).sortBy(id => (hex8(id), id)).zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }.sortBy(_._1)
+    assert(a.sortBy(_._1).toSeq == want.toSeq)
+  }
+
   test("epoch mix repeats rows per group factor; unweighted default 1") {
     val epochs = Seq(("grp0", 3), ("grp1", 2)).toDF("group", "epochs")
     val out = Sampling.epochMix(rows, col("grp"), epochs)

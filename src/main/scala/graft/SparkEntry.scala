@@ -293,6 +293,23 @@ object SparkEntry {
         .orderBy("doc_id").select("doc_id", "source").limit(50)
     }),
 
+    // P16: domain blocklist — an entry blocks its domain and every
+    // subdomain. Hosts get a planted "ads." subdomain on doc_id%4==0 so
+    // both match modes are exercised: "site3.example.com" must block plain
+    // AND ads. variants (suffix), "ads.site10.example.com" only the exact
+    // subdomain; "blocked.example.org" matches nothing. The oracle states
+    // the surviving set in closed form.
+    "p16_domain_blocklist" -> ((s, d) => {
+      import s.implicits._
+      val url = concat(lit("http://"),
+        when(col("doc_id") % 4 === 0, lit("ads.")).otherwise(lit("")),
+        lit("site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val urls = t(s, d, "documents").select(col("doc_id"), url.as("url"))
+      val bl = Seq("site3.example.com", "ads.site10.example.com",
+        "blocked.example.org").toDF("domain")
+      graft.ops.UrlFilters.blocklistFilter(s, urls, bl)
+    }),
     // P5: SuspectedContentUrl UDF validated against the synthesized truth
     // (.pdf urls are content; .html is a notContent extension)
     "p5_suspected_content" -> ((s, d) => {
@@ -338,6 +355,46 @@ object SparkEntry {
           concat(lit("<urn:sha256:"), sha2(col("text").cast("binary"), 256), lit(">")),
           col("text")).as("warc_record"))
     }),
+    // S7: WARC record PARSE — emit the full record (the s5b serialization),
+    // parse it back with the built-in column parser, and surface the parsed
+    // fields. The oracle states the parsed fields directly from the table
+    // (ground truth), so this gates parse(emit(x)) == x without the oracle
+    // ever reimplementing the parser.
+    "s7_warc_parse" -> ((s, d) => {
+      val rec = graft.functions.Warc.responseRecordCol(
+        urlCol(col("doc_id")),
+        lit("2017-01-01T00:00:00Z"),
+        concat(lit("<urn:sha256:"), sha2(col("text").cast("binary"), 256), lit(">")),
+        col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), graft.functions.Warc.parsedRecordCol(rec).as("p"))
+        .select(col("doc_id"),
+          col("p.version").as("version"),
+          col("p.warc_type").as("warc_type"),
+          col("p.target_uri").as("target_uri"),
+          col("p.record_id").as("record_id"),
+          col("p.content_length").as("content_length"),
+          col("p.body").as("body"))
+    }),
+    // S8: WARC segment sink + cdx index + point reads — write every doc as
+    // a record-per-gzip-member segment, then re-hydrate EVERY record via
+    // distributed byte-range point reads off the returned cdx index. The
+    // oracle states the records from the table directly, so the gate covers
+    // the full write→index→seek→parse loop.
+    "s8_warc_cdx" -> ((s, d) => {
+      import graft.sources.WarcWriter
+      val rows = t(s, d, "documents").select(
+        urlCol(col("doc_id")).as("url"),
+        lit("2017-01-01T00:00:00Z").as("date_iso"),
+        concat(lit("<urn:sha256:"), sha2(col("text").cast("binary"), 256),
+          lit(">")).as("record_id"),
+        col("text").cast("binary").as("body"))
+      val dir = java.nio.file.Files.createTempDirectory("s8cdx").toString
+      val idx = WarcWriter.writeSegments(rows.repartition(4), dir)
+      WarcWriter.readIndexed(idx.toDF())
+        .select(col("target_uri").as("url"), col("record_id"),
+          col("content_length"), col("body").cast("string").as("body"))
+    }),
     // A9: sharded-bloom URL-seen prefilter + exact confirm — must equal the
     // exact anti-join (the j8 oracle re-used as this query's oracle). Uses
     // the scale path: per-shard filters built by executors, probed via the
@@ -370,6 +427,27 @@ object SparkEntry {
           filter(transform(hdrs, (x, i) => when(i % 2 === 0, x)), _.isNotNull),
           filter(transform(hdrs, (x, i) => when(i % 2 === 1, x)), _.isNotNull)))
           .as("headers_map_json"))
+    }),
+
+    // F12: sitemap discovery — robots.txt `Sitemap:` directives (mixed
+    // case, indented), sitemap-vs-index routing, <loc> extraction with
+    // whitespace trim. The oracle states expected JSON in closed form.
+    "f12_sitemaps" -> ((s, d) => {
+      import graft.functions.Sitemap
+      val site = concat(lit("http://site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.com"))
+      val robots = concat(lit("User-agent: *\nDisallow: /private\nSitemap: "),
+        site, lit("/sitemap.xml\n  sitemap: "), site, lit("/news.xml\n"))
+      val xml = when(col("doc_id") % 3 === 0,
+        concat(lit("<sitemapindex><sitemap><loc>"), site,
+          lit("/s1.xml</loc></sitemap></sitemapindex>")))
+        .otherwise(concat(lit("<urlset><url><loc> "), site, lit("/doc/"),
+          col("doc_id").cast("string"), lit(".html </loc></url><url><loc>"),
+          site, lit("/about.html</loc></url></urlset>")))
+      t(s, d, "documents").select(col("doc_id"),
+        to_json(Sitemap.robotsSitemapsCol(robots)).as("sitemaps_json"),
+        to_json(Sitemap.sitemapLocsCol(xml)).as("locs_json"),
+        Sitemap.isSitemapIndexCol(xml).as("is_index"))
     }),
 
     // ---------------- joins (J1, J4, J5, J6, J7, J8)
@@ -591,6 +669,15 @@ object SparkEntry {
     "ann3_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(synthEmb(s, d), synthQueries(s, d), dim = 64, k = 10,
           nlist = 8, nprobe = 3)
+        .select(col("query_id"), col("vec_id"), col("rank"))),
+    // ANN4: product-quantization ADC scan + exact re-rank — must equal the
+    // brute-force oracle. The corpus is a 97-class angle grid, so the
+    // re-rank pool is sized to hold ~10 whole classes at sf0.1 (ADC scores
+    // are class-constant; the pool must span every class that can reach
+    // the true top-k).
+    "ann4_pq_topk" -> ((s, d) =>
+      Similarity.pqTopK(synthEmb(s, d), synthQueries(s, d), dim = 64, k = 10,
+          m = 4, ksub = 16, rerank = 1024)
         .select(col("query_id"), col("vec_id"), col("rank"))),
 
     // ---------------- text analysis
@@ -1039,6 +1126,14 @@ object SparkEntry {
     // thresholds are broadcast scalars, never a global ntile sort
     "t15_rarity_buckets" -> ((s, d) =>
       TextAnalysis.rarityBuckets(t(s, d, "documents"))),
+    // T16: DSIR importance scores — corpus = all documents, target domain =
+    // the src1 slice (the p13 filter); exact-gram variant so the oracle can
+    // independently recompute the whole likelihood-ratio pipeline
+    "t16_dsir_scores" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.dsirScores(docs,
+        docs.filter(lower(col("source")).contains("src1")))
+    }),
 
     // ---------------- crawl-native operators (no SQL twin; rows-only)
     "f1_normalize" -> ((s, d) =>
@@ -1114,6 +1209,30 @@ object SparkEntry {
         | 'Content-Type: application/http; msgtype=response', chr(13), chr(10),
         | 'Content-Length: ', CAST(octet_length(encode(text)) AS VARCHAR), chr(13), chr(10),
         | chr(13), chr(10), text, chr(13), chr(10), chr(13), chr(10)) AS warc_record FROM documents""".stripMargin.replace("\n", ""),
+    "f12_sitemaps" ->
+      """SELECT doc_id,
+        | concat('["http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/sitemap.xml","http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/news.xml"]') AS sitemaps_json,
+        | CASE WHEN doc_id % 3 = 0
+        |   THEN concat('["http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/s1.xml"]')
+        |   ELSE concat('["http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/doc/', CAST(doc_id AS VARCHAR), '.html","http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/about.html"]')
+        | END AS locs_json,
+        | doc_id % 3 = 0 AS is_index
+        | FROM documents""".stripMargin.replace("\n", ""),
+    "p16_domain_blocklist" ->
+      """SELECT doc_id, concat('http://', CASE WHEN doc_id % 4 = 0 THEN 'ads.' ELSE '' END,
+        | 'site', CAST(doc_id % 50 AS VARCHAR), '.example.com/doc/', CAST(doc_id AS VARCHAR)) AS url
+        | FROM documents
+        | WHERE NOT (doc_id % 50 = 3 OR (doc_id % 4 = 0 AND doc_id % 50 = 10))""".stripMargin.replace("\n", ""),
+    "s7_warc_parse" ->
+      s"""SELECT doc_id, 'WARC/1.0' AS version, 'response' AS warc_type,
+        | $urlsSql AS target_uri,
+        | concat('<urn:sha256:', sha256(text), '>') AS record_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        | text AS body FROM documents""".stripMargin.replace("\n", ""),
+    "s8_warc_cdx" ->
+      s"""SELECT $urlsSql AS url, concat('<urn:sha256:', sha256(text), '>') AS record_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+        | text AS body FROM documents""".stripMargin.replace("\n", ""),
     "a9_bloom_seen" ->
       s"""SELECT url FROM (SELECT $urlsSql AS url FROM documents WHERE doc_id < 300) WHERE url NOT IN (SELECT $urlsSql AS url FROM documents WHERE doc_id % 3 = 0)""",
     "a1_count_global" -> "SELECT count(*) AS n_rows FROM lineitem",
@@ -1171,6 +1290,18 @@ object SparkEntry {
        "SELECT doc_id, n_toks, CAST((sum_rank * 1000000) // n_toks AS BIGINT) AS mean_rank_micro, " +
        "CASE WHEN ((sum_rank * 1000000) // n_toks) * 100 <= vocab * 25000000 THEN 'head' WHEN ((sum_rank * 1000000) // n_toks) * 100 <= vocab * 60000000 THEN 'middle' ELSE 'tail' END AS bucket " +
        "FROM perdoc CROSS JOIN vocab"),
+    // independent DSIR replay: whitespace unigrams+bigrams, +1 smoothing
+    // over the observed feature space, ln likelihood ratio — engine-native
+    // DuckDB list ops, shares no code with the Spark side
+    "t16_dsir_scores" ->
+      ("WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w FROM documents), " +
+       "grams AS (SELECT doc_id, source, g.g AS g FROM w, unnest(list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS g(g)), " +
+       "q AS (SELECT g, count(*) AS qc FROM grams GROUP BY 1), " +
+       "p AS (SELECT g, count(*) AS pc FROM grams WHERE contains(lower(source), 'src1') GROUP BY 1), " +
+       "feats AS (SELECT coalesce(q.g, p.g) AS g, coalesce(qc, 0) AS qc, coalesce(pc, 0) AS pc FROM q FULL OUTER JOIN p ON q.g = p.g), " +
+       "stats AS (SELECT count(*) AS v, sum(qc) AS qt, sum(pc) AS pt FROM feats), " +
+       "lut AS (SELECT g, ln((pc + 1.0) / (pt + v)) - ln((qc + 1.0) / (qt + v)) AS l FROM feats CROSS JOIN stats) " +
+       "SELECT doc_id, round(sum(l), 4) AS dsir_score, count(*) AS n_grams FROM grams JOIN lut USING (g) GROUP BY 1"),
     "w1_running_count" ->
       "SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n FROM events",
     "st1_tumbling_window" ->
@@ -1225,6 +1356,7 @@ object SparkEntry {
     "ann1_bruteforce_topk" -> annOracleSql,
     "ann2_lsh_topk" -> annOracleSql,
     "ann3_ivf_topk" -> annOracleSql,
+    "ann4_pq_topk" -> annOracleSql,
     "t1_lang_dist" -> "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "t6_extract_text" ->
       "SELECT doc_id, concat('Doc ', CAST(doc_id AS VARCHAR), ' alpha ', CAST(doc_id AS VARCHAR), ' beta') AS page_text FROM documents WHERE doc_id < 200",

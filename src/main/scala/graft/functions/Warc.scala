@@ -42,6 +42,38 @@ object Warc {
       field("Content-Length", octet_length(body).cast("string")),
       lit(CRLF), body, lit(CRLF + CRLF))
 
+  /** Parse ONE WARC record held in a string column back into a struct
+    * (version, warc_type, headers map, content_length, body) — the inverse
+    * of `responseRecordCol`, all Spark built-ins (substring_index /
+    * str_to_map / substr arithmetic), so a trillion-record parse stays
+    * inside WholeStageCodegen with no UDF.
+    *
+    * Scope: a SINGLE record per value, body recovered as everything
+    * between the first blank line and the trailing 2xCRLF — character
+    * arithmetic, which is exact for any body (including bodies that
+    * contain `\r\n\r\n`). Byte-true Content-Length framing over
+    * multi-record archive FILES is `sources/WarcReader` — this column is
+    * the engine-side parse for records already isolated in a column (the
+    * shape S5 emits and the reader's `body` decodes to). */
+  def parsedRecordCol(rec: Column): Column = {
+    val headerBlock = substring_index(rec, CRLF + CRLF, 1)
+    val version = substring_index(headerBlock, CRLF, 1)
+    // header lines after the version line -> map (k: v per CRLF line)
+    val hdrs = str_to_map(
+      headerBlock.substr(length(version) + lit(3), length(headerBlock)),
+      lit("\r\n"), lit(": "))
+    val rest = rec.substr(length(headerBlock) + lit(5), length(rec))
+    val body = rest.substr(lit(1), length(rest) - lit(4))
+    struct(
+      version.as("version"),
+      hdrs.getItem("WARC-Type").as("warc_type"),
+      hdrs.getItem("WARC-Target-URI").as("target_uri"),
+      hdrs.getItem("WARC-Record-ID").as("record_id"),
+      hdrs.getItem("Content-Length").cast("long").as("content_length"),
+      hdrs.as("headers"),
+      body.as("body"))
+  }
+
   /** warcinfo file-header record (record.go:47-84). */
   def warcInfoRecordCol(recordId: Column, dateIso: Column,
       filename: Column, body: Column): Column =

@@ -234,4 +234,134 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "rank", "cosine")
   }
+
+  /** Product-quantization ANN top-k (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the memory-compression
+    * layout for billion-vector corpora: each unit vector is encoded as `m`
+    * sub-codes (one byte each at ksub≤256), so the scan table is m bytes
+    * per vector (32x smaller than float32 at dim=64, m=8) and fits where
+    * the raw vectors cannot.
+    *
+    * Scale shape:
+    *   - TRAIN: codebooks are learned on a deterministic hash-sample
+    *     bounded by `trainSample` — the faiss practice (PQ training never
+    *     scans the corpus). Pure driver-side Lloyd on the sample, so the
+    *     codebooks are bit-deterministic at ANY parallelism (no
+    *     shuffle-order float sums — stronger determinism than distributed
+    *     k-means).
+    *   - ENCODE: one map-only pass; the index is narrow (vec_id, m codes).
+    *   - SEARCH (ADC): per query, an m×ksub lookup table of partial dots;
+    *     scanning scores a vector with m table lookups — map-only over the
+    *     codes table with the LUTs broadcast. Approximate top-`rerank`
+    *     survive a constant-bound rank window (WindowGroupLimit prunes
+    *     below the exchange), then vectors rejoin BY ID for the exact
+    *     cosine re-rank. No raw vector ever crosses the candidate shuffle.
+    *   - PQ-flat scans all N codes per query; the billion-scale deployment
+    *     composes this codec under an IVF coarse quantizer (`ivfTopK`) so
+    *     only nprobe cells' codes are scanned — the codec and scan layout
+    *     here are exactly what that composition reuses.
+    * Correctness: the exact re-rank makes emitted scores exact; `rerank`
+    * bounds recall (ann4's gate asserts equality with brute force). */
+  def pqTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      m: Int = 4, ksub: Int = 16, lloydIters: Int = 8,
+      trainSample: Int = 4096, rerank: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+
+    def unitize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    // 1. deterministic bounded training sample (hash-ranked ids)
+    val sample: Array[Array[Double]] = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(lit("pq-train"), col("vec_id")), col("vec_id"))
+      .limit(trainSample).collect()
+      .map(r => unitize(r.getSeq[Float](1).toArray.map(_.toDouble)))
+
+    // 2. per-subspace L2 Lloyd on the sample, driver-side and exact
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val subs = sample.map(_.slice(s * dsub, (s + 1) * dsub))
+      var cents = subs.take(math.min(ksub, subs.length)).map(_.clone())
+      for (_ <- 0 until lloydIters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { x =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d2 = 0.0; var j = 0
+            while (j < dsub) { val t = x(j) - cents(c)(j); d2 += t * t; j += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < dsub) { sums(best)(j) += x(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+
+    // 3. encode: nearest sub-centroid per subspace (map-only)
+    val encodeUdf = udf { (vec: Array[Float]) =>
+      val v = unitize(vec.map(_.toDouble))
+      Array.tabulate(m) { s =>
+        val cents = codebooks(s)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          var d2 = 0.0; var j = 0
+          while (j < dsub) {
+            val t = v(s * dsub + j) - cents(c)(j); d2 += t * t; j += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    val codes = emb.select(col("vec_id"), encodeUdf(col("embedding")).as("codes"))
+
+    // 4. ADC: per-query LUT of partial dots (queries are tiny; LUTs ride
+    //    the closure). Approximate score = sum over subspaces of
+    //    lut(s)(code_s); top-`rerank` per query via a constant-bound rank
+    //    window; exact re-rank joins vectors by id only for survivors.
+    val qRows = queries.select(col("query_id"), col("query_vec")).collect()
+    val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
+      val qv = unitize(r.getSeq[Float](1).toArray.map(_.toDouble))
+      val lut = Array.tabulate(m) { s =>
+        codebooks(s).map { cent =>
+          var dot = 0.0; var j = 0
+          while (j < dsub) { dot += qv(s * dsub + j) * cent(j); j += 1 }
+          dot
+        }
+      }
+      r.getLong(0) -> lut
+    }.toMap
+    val adcUdf = udf { (qid: Long, cs: Seq[Int]) =>
+      val lut = luts(qid)
+      var s = 0; var acc = 0.0
+      while (s < m) { acc += lut(s)(cs(s)); s += 1 }
+      acc
+    }
+    val qIds = queries.select(col("query_id"))
+    val approx = codes.crossJoin(broadcast(qIds))
+      .select(col("query_id"), col("vec_id"),
+        adcUdf(col("query_id"), col("codes")).as("adc"))
+    val wa = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
+    val cand = approx.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= rerank).select("query_id", "vec_id")
+    val scored = cand
+      .join(broadcast(queries), Seq("query_id"))
+      .join(emb, Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineCol(col("query_vec"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "vec_id", "rank", "cosine")
+  }
 }

@@ -407,6 +407,70 @@ object TextAnalysis {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** DSIR featurization (Xie et al., "Data Selection for Language Models
+    * via Importance Resampling", NeurIPS 2023): unigram + bigram whitespace
+    * features. All built-ins (split/slice/zip_with), codegen'd. */
+  private def dsirGramsCol(text: Column): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    val n1 = greatest(size(toks) - 1, lit(0))
+    val bi = zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat(a, lit(" "), b))
+    concat(toks, bi)
+  }
+
+  /** DSIR importance scores: per-document log-likelihood ratio between a
+    * TARGET gram distribution and the RAW corpus distribution — the score
+    * importance resampling ranks by when selecting pretraining data that
+    * "looks like" a high-quality target domain.
+    *
+    *   score(d) = Σ_{g ∈ grams(d)} [ ln((p_g+1)/(P+V)) − ln((q_g+1)/(Q+V)) ]
+    *
+    * (+1 smoothing over the observed feature space V; p/q = target/corpus
+    * gram counts, P/Q their totals). Rounded to 4 decimals so the value is
+    * engine-portable despite float summation order.
+    *
+    * Two feature spaces, one pipeline:
+    *   - `buckets = 0` (exact grams): the feature LUT is vocabulary-sized —
+    *     the corpus⋈LUT scoring join is sort-merge. Oracle-friendly.
+    *   - `buckets > 0` (hashed): DSIR's actual scale shape — grams hash
+    *     into a FIXED feature dimension, the LUT is `buckets` rows and
+    *     BROADCASTS, so scoring 100 TB is one map pass + a narrow
+    *     (doc_id, partial-sum) combine; no corpus-wide gram shuffle ever.
+    * Both smooth over the OCCUPIED feature count, so on a collision-free
+    * corpus the two variants emit identical scores (spec-asserted).
+    *
+    * The distribution-learning pass (two gram groupBys) is one corpus scan;
+    * at 100 TB q̂ is typically learned on a hash-sample (x1) first — the
+    * scoring pass accepts any (corpus, target) pair so that composes. */
+  def dsirScores(corpus: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 0): DataFrame = {
+    val featOf: Column => Column =
+      if (buckets > 0) g => pmod(xxhash64(g), lit(buckets.toLong))
+      else g => g
+    val docGrams = corpus.select(col(idCol),
+      explode(dsirGramsCol(col(textCol))).as("gram"))
+      .select(col(idCol), featOf(col("gram")).as("f"))
+    val q = docGrams.groupBy("f").agg(count(lit(1)).as("qc"))
+    val p = target.select(explode(dsirGramsCol(col(textCol))).as("gram"))
+      .select(featOf(col("gram")).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("pc"))
+    val feats = q.join(p, Seq("f"), "full_outer")
+      .select(col("f"), coalesce(col("qc"), lit(0L)).as("qc"),
+        coalesce(col("pc"), lit(0L)).as("pc"))
+    val stats = feats.agg(count(lit(1)).as("v"),
+      sum("qc").as("qt"), sum("pc").as("pt"))
+    val lut = feats.crossJoin(broadcast(stats))
+      .select(col("f"),
+        (log((col("pc") + 1).cast("double") / (col("pt") + col("v"))) -
+         log((col("qc") + 1).cast("double") / (col("qt") + col("v")))).as("l"))
+    val scored =
+      if (buckets > 0) docGrams.join(broadcast(lut), Seq("f"))
+      else docGrams.join(lut, Seq("f"))
+    scored.groupBy(idCol)
+      .agg(round(sum("l"), 4).as("dsir_score"), count(lit(1)).as("n_grams"))
+  }
+
   /** Top-k n-grams by frequency (corpus statistics): tokenize, slide an
     * n-window via transform/slice (codegen'd — no UDF), explode, count,
     * global top-k. The orderBy+limit is a TakeOrderedAndProject, so only k

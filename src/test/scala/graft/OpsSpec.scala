@@ -286,6 +286,42 @@ class SimilaritySpec extends AnyFunSuite {
     val got = top.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     assert((truth intersect got).size.toDouble / truth.size >= 0.9)
   }
+
+  test("PQ top-k matches brute force exactly on the circle fixture") {
+    def circle(id: Long, off: Double): Array[Float] = {
+      val theta = ((id % 97).toDouble + off) * math.Pi / 97
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat) ++ Array.fill(62)(0.0f)
+    }
+    val emb = (0L until 300L).map(i => (i, circle(i, 0.0))).toDF("vec_id", "embedding")
+    val q = (0L until 5L).map(i => (i, circle(i, 0.37))).toDF("query_id", "query_vec")
+    val truth = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val got = Similarity.pqTopK(emb, q, dim = 64, k = 10, m = 4, ksub = 16,
+      rerank = 128)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == truth)
+  }
+
+  test("PQ codes table is narrow and deterministic at any parallelism") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val emb1 = vecs.toDF("vec_id", "embedding").repartition(1)
+    val emb8 = vecs.toDF("vec_id", "embedding").repartition(8)
+    val q = vecs.take(3).map { case (i, v) => (i, v) }
+      .toDF("query_id", "query_vec")
+    val r1 = Similarity.pqTopK(emb1, q, dim = 32, k = 5, m = 4, ksub = 8,
+      rerank = 64).select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val r8 = Similarity.pqTopK(emb8, q, dim = 32, k = 5, m = 4, ksub = 8,
+      rerank = 64).select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    // driver-trained codebooks + hash-ranked sample: identical at 1 or 8
+    // partitions (distributed k-means could not promise this)
+    assert(r1 == r8)
+    // a query must find its own exact clone first
+    val self = r1.filter { case (qid, vid, rank) => rank == 1 }
+    assert(self.forall { case (qid, vid, _) => qid == vid })
+  }
 }
 
 class TextAnalysisSpec extends AnyFunSuite {
@@ -473,6 +509,130 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
     assert(out(0L) == "head")
     assert(out(3L) == "tail")
+  }
+
+  test("dsir: target-like docs score above off-domain docs") {
+    val corpus = Seq(
+      (0L, "quantum physics of entangled states and wave functions"),
+      (1L, "quantum mechanics and wave equations in physics"),
+      (2L, "cheap pills buy now discount offer click here"),
+      (3L, "discount offer buy cheap pills now")).toDF("doc_id", "text")
+    val target = Seq(
+      Tuple1("quantum physics wave functions and entangled states"),
+      Tuple1("physics of quantum wave mechanics")).toDF("text")
+    val out = TextAnalysis.dsirScores(corpus, target).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score")).toMap
+    assert(out(0L) > out(2L) && out(0L) > out(3L))
+    assert(out(1L) > out(2L) && out(1L) > out(3L))
+  }
+
+  test("dsir: hashed variant equals exact on a collision-free corpus") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "beta gamma delta"),
+      (2L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha beta gamma delta")).toDF("text")
+    // verify the fixture really is collision-free at this bucket count
+    import org.apache.spark.sql.functions.{countDistinct, explode, lower, pmod, split, trim, xxhash64}
+    val grams = corpus.select(explode(split(lower(trim($"text")), "\\s+")).as("g"))
+    val (nGrams, nBuckets) = {
+      val r = grams.agg(countDistinct($"g"),
+        countDistinct(pmod(xxhash64($"g"), lit(1 << 20)))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(nGrams == nBuckets, "fixture must be collision-free")
+    val exact = TextAnalysis.dsirScores(corpus, target).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score")).toMap
+    val hashed = TextAnalysis.dsirScores(corpus, target, buckets = 1 << 20).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score")).toMap
+    assert(exact == hashed)
+  }
+
+  test("dsir: bigrams participate (word order matters)") {
+    // same unigram multiset, different bigrams — scores must differ
+    val corpus = Seq(
+      (0L, "new york city weather"),
+      (1L, "york new weather city")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("new york city weather report")).toDF("text")
+    val out = TextAnalysis.dsirScores(corpus, target).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("dsir_score")).toMap
+    assert(out(0L) > out(1L))
+  }
+}
+
+class UrlFiltersSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("blocklist: entry blocks its domain and every subdomain, nothing else") {
+    val urls = Seq(
+      (0L, "http://example.com/a"),
+      (1L, "https://ads.example.com/b"),
+      (2L, "http://deep.ads.example.com/c"),
+      (3L, "http://notexample.com/d"),      // no partial-string match
+      (4L, "http://EXAMPLE.COM/e"),         // case-insensitive host
+      (5L, "http://user@tracker.net:8080/f"), // userinfo + port stripped
+      (6L, "http://safe.org/g")).toDF("doc_id", "url")
+    val bl = Seq("example.com", "tracker.net").toDF("domain")
+    val kept = UrlFilters.blocklistFilter(spark, urls, bl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 6L))
+  }
+
+  test("allowlist is the exact complement on the same list") {
+    val urls = Seq(
+      (0L, "http://example.com/a"),
+      (1L, "http://sub.example.com/b"),
+      (2L, "http://other.net/c")).toDF("doc_id", "url")
+    val al = Seq("example.com").toDF("domain")
+    val in = UrlFilters.allowlistFilter(spark, urls, al)
+      .select("doc_id").as[Long].collect().toSet
+    val out = UrlFilters.blocklistFilter(spark, urls, al)
+      .select("doc_id").as[Long].collect().toSet
+    assert(in == Set(0L, 1L) && out == Set(2L))
+  }
+
+  test("blocklist filter plan is a pure map pass: no join, no exchange") {
+    val urls = Seq((0L, "http://a.com/x")).toDF("doc_id", "url")
+    val bl = Seq("b.com").toDF("domain")
+    val plan = UrlFilters.blocklistFilter(spark, urls, bl)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"))
+  }
+
+  test("hostSuffixesCol enumerates dot-suffixes") {
+    val out = Seq(Tuple1("a.b.example.com")).toDF("h")
+      .select(UrlFilters.hostSuffixesCol($"h")).as[Seq[String]].head()
+    assert(out == Seq("a.b.example.com", "b.example.com", "example.com", "com"))
+  }
+}
+
+class SitemapSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  import graft.functions.Sitemap
+
+  test("robots Sitemap: directives — mixed case, indentation, multiples") {
+    val robots =
+      "User-agent: *\nDisallow: /x\nSitemap: http://a.com/s.xml\n" +
+        "\tSITEMAP:\thttp://a.com/t.xml\nnot-a-sitemap: http://no\n"
+    val out = Seq(Tuple1(robots)).toDF("r")
+      .select(Sitemap.robotsSitemapsCol($"r")).as[Seq[String]].head()
+    assert(out == Seq("http://a.com/s.xml", "http://a.com/t.xml"))
+  }
+
+  test("<loc> extraction trims whitespace; index detection routes") {
+    val urlset = "<urlset><url><loc>  http://a.com/1 </loc></url>" +
+      "<url><loc>http://a.com/2</loc></url></urlset>"
+    val index = "<sitemapindex xmlns=\"x\"><sitemap><loc>http://a.com/s1.xml" +
+      "</loc></sitemap></sitemapindex>"
+    val rows = Seq((0, urlset), (1, index)).toDF("i", "x")
+      .select($"i", Sitemap.sitemapLocsCol($"x").as("locs"),
+        Sitemap.isSitemapIndexCol($"x").as("idx"))
+      .as[(Int, Seq[String], Boolean)].collect()
+      .map { case (i, l, b) => i -> ((l, b)) }.toMap
+    assert(rows(0) == ((Seq("http://a.com/1", "http://a.com/2"), false)))
+    assert(rows(1) == ((Seq("http://a.com/s1.xml"), true)))
   }
 }
 

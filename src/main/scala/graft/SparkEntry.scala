@@ -982,6 +982,33 @@ object SparkEntry {
         t(s, d, "documents").select(col("doc_id"), text.as("text")), n = 5)
     }),
 
+    // D13: one-sided containment — groups of 8 docs: 3 carry an identical
+    // base passage (A), 3 carry base + a unique suffix (B), 2 are solo.
+    // Expected ≥0.9 pairs: A↔A (identical) and A→B (fully quoted), never
+    // B→A / B↔B / solo (the oracle states them in closed form; cross-group
+    // base windows are either hot-capped or below threshold at every SF —
+    // see the group arithmetic in the oracle comment)
+    "d13_containment" -> ((s, d) => {
+      // every base token carries the group id, so base windows live in
+      // exactly 6 docs (under the hot cap at any SF) and never match
+      // across groups; suffix/solo tokens carry the doc id
+      val g = expr("doc_id div 8").cast("string")
+      val base = array_join(transform(sequence(lit(0), lit(11)),
+        i => concat(lit("w"), i.cast("string"), lit("g"), g)), " ")
+      val suffix = array_join(transform(sequence(lit(0), lit(4)),
+        i => concat(lit("x"), i.cast("string"), lit("d"),
+          col("doc_id").cast("string"))), " ")
+      val solo = array_join(transform(sequence(lit(0), lit(9)),
+        i => concat(lit("s"), i.cast("string"), lit("d"),
+          col("doc_id").cast("string"))), " ")
+      val text = when(col("doc_id") % 8 < 3, base)
+        .when(col("doc_id") % 8 < 6, concat(base, lit(" "), suffix))
+        .otherwise(solo)
+      TextAnalysis.containmentPairs(
+        t(s, d, "documents").select(col("doc_id"), text.as("text")),
+        n = 4, minContainMicro = 900000L)
+    }),
+
     // ---------------- link-graph analytics (ops/Graph.scala) over a
     // synthesized sink-free edge list: src=doc_id, dst=(doc_id+j*j)%N for
     // j in 1..(1+doc_id%3) — out-degrees 1..3, every node reached via the
@@ -995,6 +1022,19 @@ object SparkEntry {
           col("n"))
         .select(col("src"), ((col("src") + col("j") * col("j")) % col("n")).as("dst"))
       Graph.pageRankScaled(edges, iters = 5)
+    }),
+    // G4: HITS hubs/authorities — exact-integer un-normalized power
+    // iteration over the g1 graph (normalization only rescales; integer
+    // scores hash-compare bit-exact cross-engine)
+    "g4_hits" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      val edges = docs.crossJoin(nDf)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), (lit(1) + col("doc_id") % 3).cast("int"))).as("j"),
+          col("n"))
+        .select(col("src"), ((col("src") + col("j") * col("j")) % col("n")).as("dst"))
+      Graph.hitsScaled(edges, iters = 3)
     }),
     // G3: personalized (seeded-teleport) PageRank — seed-proximity scores
     // for frontier prioritization; same synthetic graph as g1, seeds are
@@ -1133,6 +1173,18 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       TextAnalysis.dsirScores(docs,
         docs.filter(lower(col("source")).contains("src1")))
+    }),
+    // T17: encoding quality over planted raw bytes — ascii / multibyte
+    // utf8 / invalid continuation / BOM / truncated multibyte tail, one
+    // class per doc_id%5; the oracle states every signal in closed form
+    "t17_encoding" -> ((s, d) => {
+      val hex = when(col("doc_id") % 5 === 0, lit("68656c6c6f"))      // hello
+        .when(col("doc_id") % 5 === 1, lit("68c3a96c6c6f"))           // héllo
+        .when(col("doc_id") % 5 === 2, lit("68ff6c6c6f"))             // 0xff
+        .when(col("doc_id") % 5 === 3, lit("efbbbf68"))               // BOM+h
+        .otherwise(lit("68c3"))                                       // truncated
+      TextAnalysis.encodingSignals(
+        t(s, d, "documents").select(col("doc_id"), unhex(hex).as("raw")))
     }),
 
     // ---------------- crawl-native operators (no SQL twin; rows-only)
@@ -1302,6 +1354,12 @@ object SparkEntry {
        "stats AS (SELECT count(*) AS v, sum(qc) AS qt, sum(pc) AS pt FROM feats), " +
        "lut AS (SELECT g, ln((pc + 1.0) / (pt + v)) - ln((qc + 1.0) / (qt + v)) AS l FROM feats CROSS JOIN stats) " +
        "SELECT doc_id, round(sum(l), 4) AS dsir_score, count(*) AS n_grams FROM grams JOIN lut USING (g) GROUP BY 1"),
+    "t17_encoding" ->
+      ("SELECT doc_id, " +
+        "CAST(CASE doc_id % 5 WHEN 0 THEN 5 WHEN 1 THEN 6 WHEN 2 THEN 5 WHEN 3 THEN 4 ELSE 2 END AS BIGINT) AS n_bytes, " +
+        "CAST(CASE WHEN doc_id % 5 IN (2, 4) THEN 1 ELSE 0 END AS BIGINT) AS n_invalid, " +
+        "CASE doc_id % 5 WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf8' WHEN 3 THEN 'utf8-bom' ELSE 'invalid' END AS encoding " +
+        "FROM documents"),
     "w1_running_count" ->
       "SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n FROM events",
     "st1_tumbling_window" ->
@@ -1479,6 +1537,20 @@ object SparkEntry {
     "d12_window_dedup" ->
       ("SELECT doc_id, CAST(CASE WHEN doc_id % 7 = 0 THEN 6 ELSE 21 END AS BIGINT) AS n_windows, " +
         "CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 20 END AS BIGINT) AS n_dup_windows FROM documents"),
+    // containment closed form: within a group of 8 (g = id div 8), the 3
+    // A docs (r<3) share all 9 base windows (12 tokens, n=4), B docs (3<=r<6)
+    // contain those 9 among their 14 — so A→A and A→B are 9/9 = 1.0; every
+    // other pair is ≤ 8/9 or hot-capped, below the 0.9 gate
+    "d13_containment" ->
+      ("WITH d AS (SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS r FROM documents), " +
+        "a AS (SELECT doc_id, g FROM d WHERE r < 3), " +
+        "b AS (SELECT doc_id, g FROM d WHERE r >= 3 AND r < 6) " +
+        "SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, CAST(9 AS BIGINT) AS shared, " +
+        "CAST(9 AS BIGINT) AS nw_a, CAST(1000000 AS BIGINT) AS containment_micro " +
+        "FROM a x JOIN a y ON x.g = y.g AND x.doc_id <> y.doc_id " +
+        "UNION ALL " +
+        "SELECT x.doc_id, y.doc_id, CAST(9 AS BIGINT), CAST(9 AS BIGINT), CAST(1000000 AS BIGINT) " +
+        "FROM a x JOIN b y ON x.g = y.g"),
     // exact-integer PageRank twin: S_{k+1}(v) = 18*120^k + sum (102/d_u)*S_k(u)
     // (derivation in ops/Graph.scala scaladoc); five unrolled iterations
     "g1_pagerank" ->
@@ -1492,6 +1564,19 @@ object SparkEntry {
         "r4 AS (SELECT we.dst AS id, CAST(31104000 + sum(we.w * r3.s) AS BIGINT) AS s FROM we JOIN r3 ON r3.id = we.src GROUP BY we.dst), " +
         "r5 AS (SELECT we.dst AS id, CAST(3732480000 + sum(we.w * r4.s) AS BIGINT) AS s FROM we JOIN r4 ON r4.id = we.src GROUP BY we.dst) " +
         "SELECT id, s AS s_rank FROM r5"),
+    "g4_hits" ->
+      ("WITH e AS (SELECT DISTINCT doc_id AS src, (doc_id + j*j) % (SELECT count(*) FROM documents) AS dst " +
+        "FROM documents, (SELECT unnest(range(1,4)) AS j) js WHERE j <= 1 + doc_id % 3), " +
+        "a0 AS (SELECT doc_id AS id, CAST(1 AS BIGINT) AS v FROM documents), " +
+        "h1 AS (SELECT e.src AS id, sum(a0.v) AS v FROM e JOIN a0 ON a0.id = e.dst GROUP BY e.src), " +
+        "a1 AS (SELECT e.dst AS id, sum(h1.v) AS v FROM e JOIN h1 ON h1.id = e.src GROUP BY e.dst), " +
+        "h2 AS (SELECT e.src AS id, sum(a1.v) AS v FROM e JOIN a1 ON a1.id = e.dst GROUP BY e.src), " +
+        "a2 AS (SELECT e.dst AS id, sum(h2.v) AS v FROM e JOIN h2 ON h2.id = e.src GROUP BY e.dst), " +
+        "h3 AS (SELECT e.src AS id, sum(a2.v) AS v FROM e JOIN a2 ON a2.id = e.dst GROUP BY e.src), " +
+        "a3 AS (SELECT e.dst AS id, sum(h3.v) AS v FROM e JOIN h3 ON h3.id = e.src GROUP BY e.dst) " +
+        "SELECT d.doc_id AS id, CAST(coalesce(h3.v, 0) AS BIGINT) AS hub_s, " +
+        "CAST(coalesce(a3.v, 0) AS BIGINT) AS auth_s FROM documents d " +
+        "LEFT JOIN h3 ON h3.id = d.doc_id LEFT JOIN a3 ON a3.id = d.doc_id"),
     "g3_personalized_pagerank" ->
       ("WITH e AS (SELECT DISTINCT doc_id AS src, (doc_id + j*j) % (SELECT count(*) FROM documents) AS dst " +
         "FROM documents, (SELECT unnest(range(1,4)) AS j) js WHERE j <= 1 + doc_id % 3), " +

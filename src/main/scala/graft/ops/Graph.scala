@@ -198,4 +198,51 @@ object Graph {
     }
     visited
   }
+
+  /** HITS hubs/authorities (Kleinberg, JACM 1999) as an exact-integer
+    * power iteration — the link-quality signal pair PageRank does not give
+    * (a hub LINKS TO good pages; an authority IS one): h ← A·a, a ← Aᵀ·h
+    * from all-ones.
+    *
+    * Classic HITS L2-normalizes each half-step, which only rescales —
+    * relative order is untouched. Skipping normalization keeps every score
+    * an exact BIGINT, the same bit-deterministic cross-engine gate trick as
+    * [[pageRankScaled]] (float twins cannot hash-compare). Magnitudes grow
+    * by ≤ dmaxIn·dmaxOut per round, so a static pre-check bounds `iters`
+    * against Long overflow from the measured degree maxima.
+    *
+    * Plan per round: two edge joins + two groupBy sums over narrow
+    * (id, value) rows — the Pregel shape shared with pageRank; lineage is
+    * truncated per half-step. Nodes with no out-edges (in-edges) emit hub
+    * (authority) 0 via the final left joins. */
+  def hitsScaled(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be positive (got $iters)")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val dOut = e.groupBy("src").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    val dIn = e.groupBy("dst").agg(count(lit(1)).as("c"))
+      .agg(max("c")).head().getLong(0)
+    require((BigInt(dOut) * BigInt(dIn)).pow(iters) <= BigInt(Long.MaxValue) / 4,
+      s"hitsScaled overflows: (dmaxOut=$dOut * dmaxIn=$dIn)^$iters exceeds Long range")
+
+    var a = nodes.withColumn("v", lit(1L))
+    var h: DataFrame = null
+    for (_ <- 1 to iters) {
+      h = e.join(a, e("dst") === a("id"))
+        .groupBy(e("src")).agg(sum("v").as("v"))
+        .select(col("src").as("id"), col("v")).localCheckpoint(true)
+      a = e.join(h, e("src") === h("id"))
+        .groupBy(e("dst")).agg(sum("v").as("v"))
+        .select(col("dst").as("id"), col("v")).localCheckpoint(true)
+    }
+    nodes
+      .join(h.select(col("id"), col("v").as("hub_s")), Seq("id"), "left")
+      .join(a.select(col("id"), col("v").as("auth_s")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("hub_s"), lit(0L)).as("hub_s"),
+        coalesce(col("auth_s"), lit(0L)).as("auth_s"))
+  }
 }

@@ -343,6 +343,111 @@ object TextAnalysis {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
   }
 
+  /** Encoding quality over raw page BYTES — the filter that runs before any
+    * text op can trust `.cast("string")`: a crawl corpus carries mislabeled
+    * charsets, truncated multibyte tails, and binary junk served as
+    * text/html.
+    *
+    * Returns per row: byte count, count of bytes rejected by a UTF-8
+    * validity scan, and a verdict column
+    * (`ascii` | `utf8` | `utf8-bom` | `invalid`).
+    *
+    * Scan rules (deliberately the lenient-decoder semantics: one invalid
+    * count per rejected byte, resync at the next byte — what a
+    * REPLACE-mode decoder emits U+FFFD for): lead bytes C2–DF/E0–EF/F0–F4
+    * open 2/3/4-byte sequences, continuations must be 80–BF, C0/C1/F5–FF
+    * and bare continuations are invalid, a truncated tail counts once per
+    * consumed lead. Overlong/surrogate payload checks are out of scope
+    * (documented simplification — they need the decoded code point, and
+    * mislabeled corpora are caught by the byte-level rules).
+    *
+    * A byte-level state machine is a deliberate UDF kernel (same rationale
+    * as Sniff's signature scan); the pass is map-only — at 100 TB it
+    * pipelines with the scan. */
+  def encodingSignals(docs: DataFrame, binCol: String = "raw",
+      idCol: String = "doc_id"): DataFrame = {
+    val sigUdf = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) (0L, 0L, "invalid")
+      else {
+        val n = bytes.length
+        val bom = n >= 3 && (bytes(0) & 0xff) == 0xef &&
+          (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf
+        var i = if (bom) 3 else 0
+        var invalid = 0L
+        var ascii = true
+        while (i < n) {
+          val b = bytes(i) & 0xff
+          if (b < 0x80) i += 1
+          else {
+            ascii = false
+            val len =
+              if (b >= 0xc2 && b <= 0xdf) 2
+              else if (b >= 0xe0 && b <= 0xef) 3
+              else if (b >= 0xf0 && b <= 0xf4) 4
+              else 0
+            if (len == 0) { invalid += 1; i += 1 }
+            else {
+              var ok = i + len <= n
+              var j = i + 1
+              while (ok && j < i + len) {
+                val c = bytes(j) & 0xff
+                ok = c >= 0x80 && c <= 0xbf
+                j += 1
+              }
+              if (ok) i += len
+              else { invalid += 1; i += 1 } // reject the lead, resync
+            }
+          }
+        }
+        val verdict =
+          if (invalid > 0) "invalid"
+          else if (bom) "utf8-bom"
+          else if (ascii) "ascii"
+          else "utf8"
+        (n.toLong, invalid, verdict)
+      }
+    }
+    docs.withColumn("_enc", sigUdf(col(binCol)))
+      .select(col(idCol), col("_enc._1").as("n_bytes"),
+        col("_enc._2").as("n_invalid"), col("_enc._3").as("encoding"))
+  }
+
+  /** One-sided containment pairs — the near-dup relation symmetric Jaccard
+    * misses: a short document quoted wholesale inside a long one has tiny
+    * Jaccard but containment(A→B) = |W(A)∩W(B)| / |W(A)| ≈ 1 (the
+    * "substring duplication" Lee et al. 2021 target, kept set-shaped here:
+    * W = distinct n-token windows).
+    *
+    * Scale shape: windows explode to narrow (doc_id, hash) rows; windows
+    * shared by more than `maxDocsPerWindow` docs are dropped BEFORE the
+    * self-join (boilerplate windows would otherwise emit O(m²) pair rows —
+    * the same hot-bucket cap as the LSH ops; dropping hot windows only
+    * lowers measured containment for boilerplate, which is exactly the
+    * content containment should not score). The join key is the window
+    * hash, pair aggregation is a hash groupBy, and the score is integer
+    * micro-units (shared·10⁶ div |W(a)|) so the gate hash-compares.
+    * Emits both directions; `containment_micro >= minContainMicro` rows
+    * only. */
+  def containmentPairs(docs: DataFrame, n: Int, textCol: String = "text",
+      minContainMicro: Long = 500000L, maxDocsPerWindow: Int = 64): DataFrame = {
+    val wh = windowHashes(col(textCol), n, lowercase = true)
+    val win = docs.select(col("doc_id"), explode(wh).as("h"))
+    val cold = win.join(
+      win.groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= maxDocsPerWindow).select("h"),
+      Seq("h"), "left_semi")
+    val sizes = docs.select(col("doc_id").as("doc_a"),
+      size(wh).cast("long").as("nw_a")).filter(col("nw_a") > 0)
+    val pairs = cold.alias("a").join(cold.alias("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs.join(sizes, Seq("doc_a"))
+      .withColumn("containment_micro", expr("shared * 1000000 div nw_a"))
+      .filter(col("containment_micro") >= minContainMicro)
+      .select("doc_a", "doc_b", "shared", "nw_a", "containment_micro")
+  }
+
   /** TF-IDF top-k terms per document, in exact integer arithmetic so the
     * result hash-compares across engines (floating idf = ln(N/df) is libm-
     * dependent in its last ulp; `score_micro = tf·10^6 div df` preserves

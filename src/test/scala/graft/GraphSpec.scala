@@ -131,4 +131,41 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2))
   }
+
+  /** Driver-side un-normalized HITS reference. */
+  private def refHits(iters: Int): Map[Long, (Long, Long)] = {
+    var a = (0 until n).map(i => i.toLong -> 1L).toMap
+    var h = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to iters) {
+      val nh = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edgeList.foreach { case (u, v) => nh(u) += a.getOrElse(v, 0L) }
+      h = nh.toMap.withDefaultValue(0L)
+      val na = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edgeList.foreach { case (u, v) => na(v) += h(u) }
+      a = na.toMap.withDefaultValue(0L)
+    }
+    (0 until n).map(i => i.toLong -> ((h(i.toLong), a.getOrElse(i.toLong, 0L)))).toMap
+  }
+
+  test("hitsScaled matches the driver-side power iteration exactly") {
+    val got = Graph.hitsScaled(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == refHits(3))
+  }
+
+  test("hitsScaled: in-star center is the authority, spokes are hubs") {
+    val star = ((1L to 5L).map(i => (i, 0L)) :+ ((0L, 9L))).toDF("src", "dst")
+    val out = Graph.hitsScaled(star, iters = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val authOf0 = out(0L)._2
+    assert((1L to 5L).forall(i => out(i)._2 < authOf0)) // center wins authority
+    assert((1L to 5L).forall(i => out(i)._1 > out(9L)._1)) // spokes out-hub the leaf
+    assert(out(9L)._1 == 0L) // no out-edges -> hub 0
+  }
+
+  test("hitsScaled overflow guard rejects too many iterations") {
+    intercept[IllegalArgumentException] {
+      Graph.hitsScaled(edges, iters = 40)
+    }
+  }
 }

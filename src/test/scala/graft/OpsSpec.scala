@@ -511,6 +511,65 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == "tail")
   }
 
+  test("encoding signals: ascii/utf8/bom/invalid classes, byte-precise") {
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val docs = Seq(
+      (0L, bytes("68656c6c6f")),       // ascii
+      (1L, bytes("68c3a96c6c6f")),     // valid 2-byte seq
+      (2L, bytes("f09f9880")),         // valid 4-byte emoji
+      (3L, bytes("efbbbf68")),         // BOM + ascii
+      (4L, bytes("68ff6c")),           // 0xff never valid
+      (5L, bytes("68c3")),             // truncated tail
+      (6L, bytes("80686f")),           // bare continuation
+      (7L, bytes("c0af")),             // overlong lead C0 rejected (2 bad)
+      (8L, Array.emptyByteArray)       // empty: valid ascii of 0 bytes
+    ).toDF("doc_id", "raw")
+    val out = TextAnalysis.encodingSignals(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[Long]("n_invalid"),
+          r.getAs[String]("encoding")))).toMap
+    assert(out(0L) == ((5L, 0L, "ascii")))
+    assert(out(1L) == ((6L, 0L, "utf8")))
+    assert(out(2L) == ((4L, 0L, "utf8")))
+    assert(out(3L) == ((4L, 0L, "utf8-bom")))
+    assert(out(4L) == ((3L, 1L, "invalid")))
+    assert(out(5L) == ((2L, 1L, "invalid")))
+    assert(out(6L) == ((3L, 1L, "invalid")))
+    assert(out(7L) == ((2L, 2L, "invalid"))) // C0 rejected, AF bare cont
+    assert(out(8L) == ((0L, 0L, "ascii")))
+  }
+
+  test("containment: quoted-wholesale doc scores 1.0 one-way, not symmetric") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (0L, base),                                   // fully quoted inside 1
+      (1L, base + " plus unique trailing words here and more of them"),
+      (2L, "totally different content with nothing shared at all ok")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.containmentPairs(docs, n = 4, minContainMicro = 0L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("containment_micro")).toMap
+    assert(out((0L, 1L)) == 1000000L) // 5 of 5 windows of doc 0 in doc 1
+    assert(out((1L, 0L)) < 1000000L)  // doc 1 has extra windows
+    assert(!out.contains((0L, 2L)) && !out.contains((2L, 0L)))
+  }
+
+  test("containment: hot-window cap drops boilerplate windows") {
+    // 80 docs all sharing one boilerplate sentence + unique tails: with the
+    // cap at 64, the shared windows are dropped and no pair is emitted
+    val docs = (0L until 80L).map(i =>
+      (i, s"standard footer legal text here unique$i tail$i")).toDF("doc_id", "text")
+    val out = TextAnalysis.containmentPairs(docs, n = 4,
+      minContainMicro = 0L, maxDocsPerWindow = 64)
+    assert(out.count() == 0L)
+    // raising the cap above the corpus restores the pairs
+    val out2 = TextAnalysis.containmentPairs(docs, n = 4,
+      minContainMicro = 0L, maxDocsPerWindow = 128)
+    assert(out2.count() > 0L)
+  }
+
   test("dsir: target-like docs score above off-domain docs") {
     val corpus = Seq(
       (0L, "quantum physics of entangled states and wave functions"),

@@ -237,6 +237,44 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   def urlsViewAsOf(wave: Long): Option[DataFrame] =
     store.asOf(wave).map(s => urlsMorOver(s.readAppendOnly("urls"), None))
 
+  /** Incremental CDC read (Iceberg incremental-scan shape): every url whose
+    * CURRENT merge-on-read row was written after `sinceWave` — exactly the
+    * rows a downstream consumer checkpointed at `sinceWave` must reprocess.
+    * Returns the live row plus `changed_wave` (the stamp that superseded
+    * the consumer's view).
+    *
+    * Scale shape: the delta's BUCKETS are discovered first by a
+    * stamp-filtered scan (the `w_wave > since` predicate pushes into the
+    * parquet scan, and version dirs written before `since` are skipped
+    * whole via their max(w_wave) footer stats); the latest-wins window
+    * then runs only over those buckets' files (the steady-state wave
+    * treatment), so a small delta reads O(delta/B · log) rows — never a
+    * full-table window. Falls back to the full view naturally when the
+    * delta touches every bucket. The ≤`urlBuckets` collected ids mirror
+    * the wave loop's bucket collect. */
+  def urlsChangedSince(sinceWave: Long): DataFrame = {
+    store.readAppendOnly("urls") match {
+      case None => emptyDF[UrlRow].withColumn("changed_wave", lit(0L)).limit(0)
+      case Some(raw) =>
+        val df0 =
+          if (raw.columns.contains("ubucket"))
+            raw.withColumn("ubucket", coalesce($"ubucket", bucketCol($"url")))
+          else raw.withColumn("ubucket", bucketCol($"url"))
+        val touched = df0.filter($"w_wave" > sinceWave)
+          .select($"ubucket").distinct().collect().map(_.getInt(0)).toSeq
+        if (touched.isEmpty)
+          emptyDF[UrlRow].withColumn("changed_wave", lit(0L)).limit(0)
+        else {
+          val slice = df0.filter($"ubucket".isin(touched: _*))
+          val w = Window.partitionBy("url").orderBy(desc("w_wave"), desc("w_prio"))
+          slice.withColumn("rn_", row_number().over(w))
+            .filter($"rn_" === 1 && $"w_wave" > sinceWave)
+            .withColumn("changed_wave", $"w_wave")
+            .drop("rn_", "w_wave", "w_prio", "ubucket")
+        }
+    }
+  }
+
   /** The committed frontier as of `wave` (time travel over the transition
     * log: latest-wins re-runs on the historical prefix, so the result is
     * the exact queue the scheduler saw after that wave's commit). */

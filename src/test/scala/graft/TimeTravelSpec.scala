@@ -60,6 +60,37 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(canonUrls(travelled.get) != canonUrls(sched.urlsView))
   }
 
+  test("urlsChangedSince: incremental CDC equals a test-side latest-wins replay") {
+    val (sched, store) = full
+    val raw = store.readAppendOnly("urls").get
+    // independent reference: latest-wins per url straight off the log,
+    // no bucket pruning (the engine path prunes; results must agree)
+    def refChanged(since: Long): Set[(String, Long)] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("url")
+        .orderBy(desc("w_wave"), desc("w_prio"))
+      raw.withColumn("rn_", row_number().over(w))
+        .filter($"rn_" === 1 && $"w_wave" > since)
+        .select($"url", $"w_wave").as[(String, Long)].collect().toSet
+    }
+    val mid = store.snapshotWaves.filter(_ >= 0).drop(2).head
+    val got = sched.urlsChangedSince(mid)
+      .select($"url", $"changed_wave").as[(String, Long)].collect().toSet
+    assert(got == refChanged(mid))
+    assert(got.nonEmpty, "mid-crawl delta must not be empty")
+    // nothing changed since the last commit; everything changed since -1
+    assert(sched.urlsChangedSince(store.currentWave).count() == 0)
+    assert(sched.urlsChangedSince(-1L).count() == sched.urlsView.count())
+    // CDC rows carry the LIVE row content for the changed urls
+    val liveRows = sched.urlsView
+      .selectExpr("concat(url,'|',status,'|',coalesce(title,''))")
+      .as[String].collect().toSet
+    val cdcRows = sched.urlsChangedSince(mid)
+      .selectExpr("concat(url,'|',status,'|',coalesce(title,''))")
+      .as[String].collect().toSet
+    assert(cdcRows.subsetOf(liveRows))
+  }
+
   test("expireSnapshots keeps the newest N, drops the rest, live reads survive") {
     val (sched, store) = crawl(maxWaves = 40)
     val before = store.snapshotWaves

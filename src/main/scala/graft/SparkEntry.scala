@@ -429,6 +429,21 @@ object SparkEntry {
           .as("headers_map_json"))
     }),
 
+    // F13: anchor-text extraction — link CONTEXT (href + visible text),
+    // planted HTML with nested markup, entities, and an href-less <a>;
+    // closed-form oracle
+    "f13_anchor_text" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><p>pre</p><a href=\"/doc/"), id,
+        lit(".html\">Doc <b>"), id,
+        lit("</b> link</a> between <a href='http://ext.example.org/"), id,
+        lit("'>ext &amp; more</a><a name=\"x\">no href</a></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(Funcs.extractAnchorsUdf(html.cast("binary"))).as("a"))
+        .select(col("doc_id"), col("a._1").as("href"), col("a._2").as("anchor_text"))
+    }),
     // F12: sitemap discovery — robots.txt `Sitemap:` directives (mixed
     // case, indented), sitemap-vs-index routing, <loc> extraction with
     // whitespace trim. The oracle states expected JSON in closed form.
@@ -679,6 +694,24 @@ object SparkEntry {
       Similarity.pqTopK(synthEmb(s, d), synthQueries(s, d), dim = 64, k = 10,
           m = 4, ksub = 16, rerank = 1024)
         .select(col("query_id"), col("vec_id"), col("rank"))),
+
+    // A11: adaptive recrawl — change-rate estimation over a planted
+    // observation history (4 visits per url: static / always-changing /
+    // changed-once classes) and the derived revisit interval; closed-form
+    // oracle
+    "a11_change_rates" -> ((s, d) => {
+      val obs = t(s, d, "documents")
+        .select(urlCol(col("doc_id")).as("url"), col("doc_id"),
+          explode(sequence(lit(0), lit(3))).as("vt"))
+        .withColumn("hash",
+          when(col("doc_id") % 3 === 0, lit("h-static"))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("h-"), col("doc_id"), lit("-"), col("vt")))
+            .otherwise(concat(lit("h-"), (col("vt") / 2).cast("int"))))
+        .select("url", "vt", "hash")
+      graft.crawl.Recrawl.changeRates(obs,
+        baseSec = 86400L, minSec = 3600L, maxSec = 2592000L)
+    }),
 
     // ---------------- text analysis
     "t1_lang_dist" -> ((s, d) =>
@@ -1261,6 +1294,11 @@ object SparkEntry {
         | 'Content-Type: application/http; msgtype=response', chr(13), chr(10),
         | 'Content-Length: ', CAST(octet_length(encode(text)) AS VARCHAR), chr(13), chr(10),
         | chr(13), chr(10), text, chr(13), chr(10), chr(13), chr(10)) AS warc_record FROM documents""".stripMargin.replace("\n", ""),
+    "f13_anchor_text" ->
+      ("SELECT doc_id, concat('/doc/', CAST(doc_id AS VARCHAR), '.html') AS href, " +
+        "concat('Doc ', CAST(doc_id AS VARCHAR), ' link') AS anchor_text FROM documents " +
+        "UNION ALL " +
+        "SELECT doc_id, concat('http://ext.example.org/', CAST(doc_id AS VARCHAR)), 'ext & more' FROM documents"),
     "f12_sitemaps" ->
       """SELECT doc_id,
         | concat('["http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/sitemap.xml","http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/news.xml"]') AS sitemaps_json,
@@ -1345,6 +1383,12 @@ object SparkEntry {
     // independent DSIR replay: whitespace unigrams+bigrams, +1 smoothing
     // over the observed feature space, ln likelihood ratio — engine-native
     // DuckDB list ops, shares no code with the Spark side
+    "a11_change_rates" ->
+      (s"SELECT $urlsSql AS url, CAST(4 AS BIGINT) AS n_obs, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 3 ELSE 1 END AS BIGINT) AS n_changes, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1000000 ELSE 333333 END AS BIGINT) AS change_rate_micro, " +
+        "CAST(CASE doc_id % 3 WHEN 1 THEN 86400 ELSE 259200 END AS BIGINT) AS suggested_interval_sec " +
+        "FROM documents"),
     "t16_dsir_scores" ->
       ("WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> length(x) > 0) AS w FROM documents), " +
        "grams AS (SELECT doc_id, source, g.g AS g FROM w, unnest(list_concat(w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS g(g)), " +

@@ -78,6 +78,11 @@ object Funcs {
   val extractTextUdf = udf((body: Array[Byte]) =>
     HtmlTok.extractText(HtmlTok.bytesToString(body)))
 
+  /** (href, anchor_text) structs in document order — link context for
+    * ranking features and query-document training pairs. */
+  val extractAnchorsUdf = udf((body: Array[Byte]) =>
+    HtmlTok.extractAnchors(HtmlTok.bytesToString(body)))
+
   /** F9: href extraction resolved against the page url (document order). */
   val extractLinksUdf = udf((pageUrl: String, body: Array[Byte]) =>
     LinkExtract.extractLinksFromBody(pageUrl, body))

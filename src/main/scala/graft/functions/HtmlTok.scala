@@ -239,6 +239,106 @@ object HtmlTok {
     out.toString
   }
 
+  /** (href, anchor text) pairs in document order — link CONTEXT, not just
+    * targets: anchor text is the classic relevance/label signal a link
+    * graph carries for ranking and for query-document training pairs.
+    * Semantics: an anchor with no href contributes nothing; a new `<a>`
+    * implicitly closes an open one (HTML5 forbids nesting); text is
+    * entity-decoded and whitespace-collapsed exactly like [[extractText]];
+    * markup inside the anchor (`<b>`, comments, script bodies) separates
+    * but never contributes text. */
+  def extractAnchors(html: String): Seq[(String, String)] = {
+    val out = ArrayBuffer.empty[(String, String)]
+    val n = html.length
+    var href: String = null
+    val text = new StringBuilder
+    var pendingSpace = false
+    def emit(from: Int, to: Int): Unit = {
+      if (href != null && to > from) {
+        val seg = decodeEntities(html.substring(from, to))
+        var j = 0
+        while (j < seg.length) {
+          val c = seg.charAt(j)
+          if (Character.isWhitespace(c)) pendingSpace = text.nonEmpty
+          else {
+            if (pendingSpace) { text.append(' '); pendingSpace = false }
+            text.append(c)
+          }
+          j += 1
+        }
+      }
+    }
+    def close(): Unit = if (href != null) {
+      out += href -> text.toString
+      href = null; text.setLength(0); pendingSpace = false
+    }
+    var i = 0
+    var textStart = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { emit(textStart, n); close(); return out.toSeq }
+      tokenizeOne(html, lt) match {
+        case Some(p) =>
+          emit(textStart, lt)
+          pendingSpace = text.nonEmpty
+          val c1 = if (lt + 1 < n) html.charAt(lt + 1) else ' '
+          if (c1 == '/' || isLetter(c1)) {
+            val closing = c1 == '/'
+            var j = if (closing) lt + 2 else lt + 1
+            val ns = j
+            while (j < n && !isSpace(html.charAt(j)) && html.charAt(j) != '>' &&
+                   html.charAt(j) != '/') j += 1
+            if (html.substring(ns, j).toLowerCase(java.util.Locale.ROOT) == "a") {
+              close() // </a>, or implicit close by a new <a>
+              if (!closing) href = findHref(html, j, p).orNull
+            }
+          }
+          i = p
+          textStart = p
+        case None => i = lt + 1
+      }
+    }
+    emit(textStart, n)
+    close()
+    out.toSeq
+  }
+
+  /** href attribute value inside one tag's attribute region [from, limit). */
+  private def findHref(html: String, from: Int, limit: Int): Option[String] = {
+    var j = from
+    while (j < limit) {
+      while (j < limit && (isSpace(html.charAt(j)) || html.charAt(j) == '/')) j += 1
+      if (j >= limit || html.charAt(j) == '>') return None
+      val as = j
+      while (j < limit && !isSpace(html.charAt(j)) && html.charAt(j) != '=' &&
+             html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
+      val aname = html.substring(as, j).toLowerCase(java.util.Locale.ROOT)
+      while (j < limit && isSpace(html.charAt(j))) j += 1
+      var avalue = ""
+      if (j < limit && html.charAt(j) == '=') {
+        j += 1
+        while (j < limit && isSpace(html.charAt(j))) j += 1
+        if (j < limit) {
+          val q = html.charAt(j)
+          if (q == '"' || q == '\'') {
+            j += 1
+            val vs = j
+            while (j < limit && html.charAt(j) != q) j += 1
+            avalue = html.substring(vs, math.min(j, limit))
+            if (j < limit) j += 1
+          } else {
+            val vs = j
+            while (j < limit && !isSpace(html.charAt(j)) && html.charAt(j) != '>') j += 1
+            avalue = html.substring(vs, j)
+          }
+        }
+      }
+      if (aname == "href") return Some(decodeEntities(avalue))
+      if (aname.isEmpty) j += 1
+    }
+    None
+  }
+
   /** Consume exactly one markup construct starting at `pos` ('<'); returns
     * the position after it (after RAWTEXT content for script/style), or
     * None if it is not markup. */

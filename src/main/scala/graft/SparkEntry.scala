@@ -310,6 +310,30 @@ object SparkEntry {
         "blocked.example.org").toDF("domain")
       graft.ops.UrlFilters.blocklistFilter(s, urls, bl)
     }),
+    // P17: URL features for frontier-policy ML — path depth, query-param
+    // count, digit fraction, tracking-param flag, all built-ins (the cheap
+    // per-url signals a learned scheduler ranks on); oracle recomputes with
+    // DuckDB string ops
+    "p17_url_features" -> ((s, d) => {
+      val url = concat(urlCol(col("doc_id")),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=x&ref=1"))
+          .when(col("doc_id") % 4 === 1, lit("?q=1"))
+          .otherwise(lit("")))
+      val withUrl = t(s, d, "documents").select(col("doc_id"), url.as("url"))
+      val rest = substring_index(col("url"), "://", -1)
+      val q = when(col("url").contains("?"),
+        substring_index(col("url"), "?", -1)).otherwise(lit(""))
+      withUrl.select(col("doc_id"), col("url"),
+        length(col("url")).cast("long").as("url_len"),
+        (length(rest) - length(regexp_replace(rest, "/", "")))
+          .cast("long").as("path_depth"),
+        when(length(q) === 0, lit(0L))
+          .otherwise((length(q) - length(regexp_replace(q, "&", "")) + 1)
+            .cast("long")).as("n_params"),
+        expr("length(regexp_replace(url, '[^0-9]', '')) * 1000000L div length(url)")
+          .as("digits_micro"),
+        col("url").contains("utm_").as("has_tracking"))
+    }),
     // P5: SuspectedContentUrl UDF validated against the synthesized truth
     // (.pdf urls are content; .html is a notContent extension)
     "p5_suspected_content" -> ((s, d) => {
@@ -1294,6 +1318,17 @@ object SparkEntry {
         | 'Content-Type: application/http; msgtype=response', chr(13), chr(10),
         | 'Content-Length: ', CAST(octet_length(encode(text)) AS VARCHAR), chr(13), chr(10),
         | chr(13), chr(10), text, chr(13), chr(10), chr(13), chr(10)) AS warc_record FROM documents""".stripMargin.replace("\n", ""),
+    "p17_url_features" ->
+      (s"""WITH u AS (SELECT doc_id, concat($urlsSql,
+        | CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&ref=1'
+        |      WHEN doc_id % 4 = 1 THEN '?q=1' ELSE '' END) AS url FROM documents)
+        | SELECT doc_id, url, CAST(length(url) AS BIGINT) AS url_len,
+        | CAST(length(split_part(url, '://', 2)) - length(replace(split_part(url, '://', 2), '/', '')) AS BIGINT) AS path_depth,
+        | CAST(CASE WHEN url NOT LIKE '%?%' THEN 0
+        |   ELSE length(split_part(url, '?', 2)) - length(replace(split_part(url, '?', 2), '&', '')) + 1 END AS BIGINT) AS n_params,
+        | CAST(length(regexp_replace(url, '[^0-9]', '', 'g')) * 1000000 // length(url) AS BIGINT) AS digits_micro,
+        | contains(url, 'utm_') AS has_tracking
+        | FROM u""".stripMargin.replace("\n", "")),
     "f13_anchor_text" ->
       ("SELECT doc_id, concat('/doc/', CAST(doc_id AS VARCHAR), '.html') AS href, " +
         "concat('Doc ', CAST(doc_id AS VARCHAR), ' link') AS anchor_text FROM documents " +

@@ -275,6 +275,31 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     }
   }
 
+  /** Frontier CDC — the queue-side twin of [[urlsChangedSince]]: every url
+    * whose latest queue TRANSITION is stamped after `sinceWave`, carrying
+    * the winning transition's `state` (INCLUDING `taken` evictions — a
+    * consumer mirroring the queue needs removals, which the live
+    * `frontierView` filters out) and `changed_wave`. Same bucket-discovery
+    * + pruned latest-wins shape: O(delta/B · log) read for a small delta. */
+  def frontierChangedSince(sinceWave: Long): DataFrame =
+    frontierLog match {
+      case None =>
+        emptyDF[FrontierRow].withColumn("changed_wave", lit(0L)).limit(0)
+      case Some(log) =>
+        val touched = log.filter($"f_wave" > sinceWave)
+          .select($"fbucket").distinct().collect().map(_.getInt(0)).toSeq
+        if (touched.isEmpty)
+          emptyDF[FrontierRow].withColumn("changed_wave", lit(0L)).limit(0)
+        else {
+          val slice = log.filter($"fbucket".isin(touched: _*))
+          val w = Window.partitionBy("url").orderBy(desc("f_wave"), desc("f_prio"))
+          slice.withColumn("rn_", row_number().over(w))
+            .filter($"rn_" === 1 && $"f_wave" > sinceWave)
+            .withColumn("changed_wave", $"f_wave")
+            .drop("rn_", "f_wave", "f_prio", "fbucket")
+        }
+    }
+
   /** The committed frontier as of `wave` (time travel over the transition
     * log: latest-wins re-runs on the historical prefix, so the result is
     * the exact queue the scheduler saw after that wave's commit). */

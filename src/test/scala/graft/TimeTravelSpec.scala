@@ -91,6 +91,30 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(cdcRows.subsetOf(liveRows))
   }
 
+  test("frontierChangedSince: queue-side CDC incl. taken evictions") {
+    val (sched, store) = full
+    val raw = store.readAppendOnly("frontier").get
+    def refChanged(since: Long): Set[(String, Long, String)] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("url")
+        .orderBy(desc("f_wave"), desc("f_prio"))
+      raw.withColumn("rn_", row_number().over(w))
+        .filter($"rn_" === 1 && $"f_wave" > since)
+        .select($"url", $"f_wave", $"state")
+        .as[(String, Long, String)].collect().toSet
+    }
+    val mid = store.snapshotWaves.filter(_ >= 0).drop(2).head
+    val got = sched.frontierChangedSince(mid)
+      .select($"url", $"changed_wave", $"state")
+      .as[(String, Long, String)].collect().toSet
+    assert(got == refChanged(mid))
+    assert(got.nonEmpty)
+    // evictions are visible to the CDC consumer even though the live
+    // frontier view hides them
+    assert(got.exists(_._3 == "taken"))
+    assert(sched.frontierChangedSince(store.currentWave).count() == 0)
+  }
+
   test("expireSnapshots keeps the newest N, drops the rest, live reads survive") {
     val (sched, store) = crawl(maxWaves = 40)
     val before = store.snapshotWaves

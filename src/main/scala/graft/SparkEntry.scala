@@ -100,6 +100,32 @@ object SparkEntry {
     bos.toByteArray
   }
 
+  /** 9x8 PNGs with doc_id-derived COLUMN patterns (increasing / decreasing /
+    * alternating brightness) — at the dHash grid size, so every cell is one
+    * pixel and the expected hash is closed-form per class. */
+  private val patternPngUdf = udf { (id: Long) =>
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val cls = (id % 3).toInt
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val v = cls match {
+          case 0 => x * 20
+          case 1 => 160 - x * 20
+          case _ => if (x % 2 == 0) 0 else 200
+        }
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic WAV header bytes: byteRate 1000 B/s, declared data-chunk
     * length 100+doc_id%1000 bytes ⇒ duration_ms = 100+doc_id%1000 by header
     * arithmetic (no payload needed — header-only parse). */
@@ -795,6 +821,13 @@ object SparkEntry {
           when(col("doc_id") % 2 === 0, wavUdf(col("doc_id")))
             .otherwise(mp4Udf(col("doc_id"))).as("content")),
         "content").select("doc_id", "format", "duration_ms")),
+    // M3: perceptual image dedup signature — REAL raster decode + integer
+    // dHash over planted 9x8 column-pattern PNGs; closed-form per-class
+    // hash constants in the oracle (increasing → all bits 1, decreasing →
+    // 0, alternating → 0xAA per row)
+    "m3_image_dhash" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Multimodal.dHashUdf(patternPngUdf(col("doc_id"))).as("dhash"))),
 
     // ---------------- metadata entity (core/metadata.go, queries.go:202-257)
     // A4: content docs (planted: doc_id%7==0) having live metadata
@@ -1524,6 +1557,9 @@ object SparkEntry {
       "SELECT doc_id, 'png' AS format, CAST(16 + doc_id % 32 AS INT) AS width, CAST(8 + doc_id % 16 AS INT) AS height FROM documents",
     "m2_av_meta" ->
       "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN 'wave' ELSE 'mp4' END AS format, CAST(CASE WHEN doc_id % 2 = 0 THEN 100 + doc_id % 1000 ELSE 500 + doc_id % 5000 END AS BIGINT) AS duration_ms FROM documents",
+    "m3_image_dhash" ->
+      ("SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN -1 WHEN 1 THEN 0 " +
+        "ELSE -6148914691236517206 END AS BIGINT) AS dhash FROM documents"),
     "a4_meta_semi" ->
       s"WITH $metaSqlCtes SELECT count(*) AS n_content_with_meta FROM documents d WHERE d.doc_id % 7 = 0 AND EXISTS (SELECT 1 FROM meta m WHERE m.subject = '1220' || sha256(d.text) AND NOT m.deleted AND m.meta IS NOT NULL)",
     "a6b_latest_meta" ->

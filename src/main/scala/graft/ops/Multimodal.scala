@@ -152,6 +152,70 @@ object Multimodal {
     out
   }
 
+  /** Perceptual difference hash (dHash) over a REAL raster decode — the
+    * image-side near-dup signature: decode via javax.imageio (PNG/JPEG/GIF/
+    * BMP ship with the JDK), integer luma gray (299/587/114 per mille —
+    * exact for grayscale pixels), downscale to 9x8 by exact integer block
+    * average (no float anywhere, so the hash is bit-identical on every JVM
+    * and at any parallelism), then 64 left-vs-right comparisons: bit
+    * (y·8+x), MSB-first in scan order, set iff cell(x+1,y) > cell(x,y).
+    *
+    * Usage at scale: map-only signature pass; exact groupBy on the hash
+    * collapses byte-perturbed re-encodes, and the SimHash chunk-banding
+    * machinery (d3) applies unchanged for hamming-radius near-dup pairing.
+    * Undecodable bytes return null (filter, don't throw — corrupt blobs
+    * are routine in a crawl corpus). */
+  def dHash(bytes: Array[Byte]): java.lang.Long = {
+    try {
+      if (bytes == null) return null
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return null
+      val W = 9; val H = 8
+      val w = img.getWidth; val h = img.getHeight
+      if (w < 1 || h < 1) return null
+      val cells = Array.ofDim[Long](H, W)
+      var y = 0
+      while (y < H) {
+        val py0 = y * h / H
+        val py1 = math.max(py0 + 1, (y + 1) * h / H)
+        var x = 0
+        while (x < W) {
+          val px0 = x * w / W
+          val px1 = math.max(px0 + 1, (x + 1) * w / W)
+          var sum = 0L; var n = 0L
+          var py = py0
+          while (py < py1) {
+            var px = px0
+            while (px < px1) {
+              val rgb = img.getRGB(px, py)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sum += (r * 299L + g * 587L + b * 114L) / 1000L
+              n += 1; px += 1
+            }
+            py += 1
+          }
+          cells(y)(x) = sum / n
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      y = 0
+      while (y < H) {
+        var x = 0
+        while (x < 8) {
+          hash = (hash << 1) | (if (cells(y)(x + 1) > cells(y)(x)) 1L else 0L)
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  val dHashUdf = udf { (bytes: Array[Byte]) => Option(dHash(bytes)).map(_.longValue) }
+
   /** Batched decode over partitions — mapPartitions keeps per-batch decoder
     * state (a real codec context) alive across rows, mirroring the
     * mapInPandas batch contract. */

@@ -619,6 +619,54 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class DHashSpec extends AnyFunSuite {
+  import graft.ops.Multimodal
+
+  private def png(w: Int, h: Int)(v: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = v(x, y); img.setRGB(x, y, (p << 16) | (p << 8) | p)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("closed-form hashes: increasing, decreasing, alternating columns") {
+    assert(Multimodal.dHash(png(9, 8)((x, _) => x * 20)) == -1L)
+    assert(Multimodal.dHash(png(9, 8)((x, _) => 160 - x * 20)) == 0L)
+    assert(Multimodal.dHash(png(9, 8)((x, _) => if (x % 2 == 0) 0 else 200))
+      == -6148914691236517206L) // 0xAA per row
+  }
+
+  test("block-average downscale: a 10x-scaled image hashes identically") {
+    val small = Multimodal.dHash(png(9, 8)((x, _) => x * 20))
+    val big = Multimodal.dHash(png(90, 80)((x, _) => (x / 10) * 20))
+    assert(small == big)
+  }
+
+  test("re-encode invariance: same pixels as PNG and BMP hash alike") {
+    def enc(fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val p = (x * 13) % 251; img.setRGB(x, y, (p << 16) | (p << 8) | p)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.dHash(enc("png")) == Multimodal.dHash(enc("bmp")))
+  }
+
+  test("corrupt bytes hash to null, never throw") {
+    assert(Multimodal.dHash("not an image".getBytes) == null)
+    assert(Multimodal.dHash(null) == null)
+    assert(Multimodal.dHash(Array.emptyByteArray) == null)
+  }
+}
+
 class UrlFiltersSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   import spark.implicits._

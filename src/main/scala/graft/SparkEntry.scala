@@ -126,6 +126,37 @@ object SparkEntry {
     bos.toByteArray
   }
 
+  /** 9x8 PNGs whose dHash equals a CONSTRUCTED 64-bit signature: groups of
+    * 6 docs share a parity-protected 16-bit value replicated across all 4
+    * chunks (any two groups differ by ≥8 signature bits), and each member
+    * flips its own bit r∈0..5 — so within-group pairs sit at hamming 2 and
+    * cross-group pairs at ≥6, making m4's expected pair set closed-form.
+    * Pixels: per row, walk left→right ±10 around 128 following the row's 8
+    * signature bits (MSB-first scan order — the dHash bit layout). */
+  private val sigPngUdf = udf { (id: Long) =>
+    val g = id / 6
+    val v = ((g & 0x7fffL) << 1) | (java.lang.Long.bitCount(g & 0x7fffL) % 2)
+    val sig = (v | (v << 16) | (v << 32) | (v << 48)) ^ (1L << (id % 6).toInt)
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var p = 128
+      img.setRGB(0, y, (p << 16) | (p << 8) | p)
+      var x = 0
+      while (x < 8) {
+        val bit = (sig >>> (63 - (y * 8 + x))) & 1L
+        p = if (bit == 1L) p + 10 else p - 10
+        img.setRGB(x + 1, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic WAV header bytes: byteRate 1000 B/s, declared data-chunk
     * length 100+doc_id%1000 bytes ⇒ duration_ms = 100+doc_id%1000 by header
     * arithmetic (no payload needed — header-only parse). */
@@ -828,6 +859,57 @@ object SparkEntry {
     "m3_image_dhash" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         Multimodal.dHashUdf(patternPngUdf(col("doc_id"))).as("dhash"))),
+    // M4: image NEAR-dup pairs — dHash signatures through the generic
+    // 4x16-bit banding (the d3 machinery): groups of 6 perturbed images
+    // pair at hamming 2, cross-group images sit at >=6 and never pair
+    "m4_image_neardup" -> ((s, d) =>
+      Dedup.signaturePairs(
+        t(s, d, "documents").select(col("doc_id"),
+          Multimodal.dHashUdf(sigPngUdf(col("doc_id"))).as("sim")),
+        maxHamming = 3)),
+
+    // ---------------- host-level crawl hygiene (ops/HostAnalysis.scala)
+    // H1: crawl-trap signals — hosts site0..4 are planted traps (every url
+    // serves one content key); every third url carries a session param
+    "h1_trap_signals" -> ((s, d) => {
+      val doc = col("doc_id")
+      val urls = t(s, d, "documents").select(
+        concat(lit("site"), (doc % 50).cast("string")).as("host"),
+        concat(lit("http://site"), (doc % 50).cast("string"),
+          lit(".example.com/p/"), doc.cast("string"),
+          when(doc % 3 === 0, concat(lit("?session="), doc.cast("string")))
+            .otherwise(lit(""))).as("url"),
+        when(doc % 50 < 5, concat(lit("T"), (doc % 50).cast("string")))
+          .otherwise(concat(lit("c"), doc.cast("string"))).as("content_key"))
+      graft.ops.HostAnalysis.trapSignals(urls)
+    }),
+    // H2: mirror-host detection — hosts h and h+25 are planted exact
+    // mirrors (content key depends only on (doc_id%25, doc_id/50)), other
+    // host pairs are content-disjoint; MinHash banding proposes, exact set
+    // Jaccard (integer micro-units) verifies
+    "h2_mirror_hosts" -> ((s, d) => {
+      val doc = col("doc_id")
+      val pages = t(s, d, "documents").select(
+        concat(lit("site"), (doc % 50).cast("string")).as("host"),
+        concat(lit("c"), (doc % 25).cast("string"), lit("_"),
+          floor(doc / 50).cast("string")).as("content_key"))
+      graft.ops.HostAnalysis.mirrorHosts(pages)
+        .orderBy("host_a", "host_b")
+    }),
+    // T18: per-host boilerplate stripping (CCNet template removal) — NAV
+    // and FOOTER lines repeat on every page of a host (stripped); PROMO
+    // appears on half the pages (under the 0.8 fraction — kept); the body
+    // line is unique per doc (kept)
+    "t18_boilerplate_strip" -> ((s, d) => {
+      val doc = col("doc_id")
+      val h = (doc % 50).cast("string")
+      val docs = t(s, d, "documents").select(doc,
+        concat(lit("site"), h).as("host"),
+        concat(lit("NAV site"), h, lit("\nFOOTER site"), h,
+          when(floor(doc / 50) % 2 === 0, lit("\nPROMO")).otherwise(lit("")),
+          lit("\nbody "), doc.cast("string")).as("text"))
+      graft.ops.HostAnalysis.boilerplateStrip(docs)
+    }),
 
     // ---------------- metadata entity (core/metadata.go, queries.go:202-257)
     // A4: content docs (planted: doc_id%7==0) having live metadata
@@ -1560,6 +1642,47 @@ object SparkEntry {
     "m3_image_dhash" ->
       ("SELECT doc_id, CAST(CASE doc_id % 3 WHEN 0 THEN -1 WHEN 1 THEN 0 " +
         "ELSE -6148914691236517206 END AS BIGINT) AS dhash FROM documents"),
+    "m4_image_neardup" ->
+      ("SELECT a.doc_id AS a_id, b.doc_id AS b_id, 2 AS hamming " +
+        "FROM documents a JOIN documents b " +
+        "ON a.doc_id // 6 = b.doc_id // 6 AND a.doc_id < b.doc_id"),
+    "h1_trap_signals" ->
+      ("""WITH u AS (SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) AS host,
+        | 'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+        |   CASE WHEN doc_id % 3 = 0 THEN '?session=' || CAST(doc_id AS VARCHAR) ELSE '' END AS url,
+        | CASE WHEN doc_id % 50 < 5 THEN 'T' || CAST(doc_id % 50 AS VARCHAR)
+        |      ELSE 'c' || CAST(doc_id AS VARCHAR) END AS content_key FROM documents)
+        | SELECT host, count(*) AS n_urls, count(DISTINCT content_key) AS n_distinct_content,
+        | CAST((count(*) - count(DISTINCT content_key)) * 1000000 // count(*) AS BIGINT) AS dup_ratio_micro,
+        | CAST(sum(CASE WHEN contains(url, '?') THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS query_rate_micro,
+        | (count(*) >= 2 AND (count(*) - count(DISTINCT content_key)) * 1000000 // count(*) >= 800000) AS is_trap
+        | FROM u GROUP BY host""".stripMargin.replace("\n", "")),
+    "h2_mirror_hosts" ->
+      ("""WITH p AS (SELECT DISTINCT 'site' || CAST(doc_id % 50 AS VARCHAR) AS host,
+        | 'c' || CAST(doc_id % 25 AS VARCHAR) || '_' || CAST(doc_id // 50 AS VARCHAR) AS content_key FROM documents),
+        | sz AS (SELECT host, count(*) AS n FROM p GROUP BY host),
+        | inter AS (SELECT a.host AS host_a, b.host AS host_b, count(*) AS ni
+        |   FROM p a JOIN p b ON a.content_key = b.content_key AND a.host < b.host GROUP BY 1, 2)
+        | SELECT host_a, host_b, CAST(ni * 1000000 // (sa.n + sb.n - ni) AS BIGINT) AS jaccard_micro
+        | FROM inter JOIN sz sa ON sa.host = inter.host_a JOIN sz sb ON sb.host = inter.host_b
+        | WHERE ni * 1000000 // (sa.n + sb.n - ni) >= 900000""".stripMargin.replace("\n", "")),
+    "t18_boilerplate_strip" ->
+      ("""WITH d AS (SELECT doc_id, 'site' || CAST(doc_id % 50 AS VARCHAR) AS host,
+        | 'NAV site' || CAST(doc_id % 50 AS VARCHAR) || chr(10) || 'FOOTER site' || CAST(doc_id % 50 AS VARCHAR) ||
+        |   CASE WHEN (doc_id // 50) % 2 = 0 THEN chr(10) || 'PROMO' ELSE '' END ||
+        |   chr(10) || 'body ' || CAST(doc_id AS VARCHAR) AS text FROM documents),
+        | pages AS (SELECT host, count(*) AS n_pages FROM d GROUP BY host),
+        | lines AS (SELECT doc_id, host, unnest(list_distinct(string_split(text, chr(10)))) AS line FROM d),
+        | lc AS (SELECT host, line, count(*) AS n_docs FROM lines GROUP BY host, line),
+        | boiler AS (SELECT host, line FROM lc JOIN pages USING (host)
+        |   WHERE n_docs >= 2 AND n_docs * 1000000 >= n_pages * 800000),
+        | ex AS (SELECT doc_id, host, unnest(string_split(text, chr(10))) AS line,
+        |        unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i FROM d),
+        | kept AS (SELECT ex.doc_id, ex.line, ex.i FROM ex LEFT JOIN boiler b
+        |   ON b.host = ex.host AND b.line = ex.line WHERE b.line IS NULL)
+        | SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text FROM d LEFT JOIN
+        | (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text FROM kept GROUP BY doc_id) k
+        | USING (doc_id)""".stripMargin.replace("\n", "")),
     "a4_meta_semi" ->
       s"WITH $metaSqlCtes SELECT count(*) AS n_content_with_meta FROM documents d WHERE d.doc_id % 7 = 0 AND EXISTS (SELECT 1 FROM meta m WHERE m.subject = '1220' || sha256(d.text) AND NOT m.deleted AND m.meta IS NOT NULL)",
     "a6b_latest_meta" ->

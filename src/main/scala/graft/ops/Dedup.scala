@@ -113,7 +113,7 @@ object Dedup {
     * bucket are still found by `exactGroups`, which is the prescribed
     * first-stage route for identical texts; LSH is for *near* duplicates.
     */
-  private def capBuckets(banded: DataFrame, cap: Int,
+  private[ops] def capBuckets(banded: DataFrame, cap: Int,
       keys: Seq[String]): DataFrame = {
     if (cap <= 0) banded
     else {
@@ -170,8 +170,19 @@ object Dedup {
   /** SimHash near-dup pairs: 4×16-bit chunk banding guarantees recall for
     * hamming distance <= 3 (pigeonhole), then exact hamming filter. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 4096): DataFrame =
+    signaturePairs(
+      docs.select(col("doc_id"), simhashUdf(col("text")).as("sim")),
+      maxHamming, maxBucket)
+
+  /** Banded near-dup pairing for ANY 64-bit signature frame (doc_id, sim) —
+    * the machinery under [[simhashPairs]], reusable by every 64-bit
+    * perceptual signature (image dHash in m4, audio chromaprints, …):
+    * 4×16-bit chunk banding (pigeonhole: any pair within hamming 3 shares
+    * at least one untouched chunk, so recall is guaranteed), hot-bucket
+    * cap, id-only candidate shuffle, exact bit_count hamming filter. */
+  def signaturePairs(sigs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 4096): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhashUdf(col("text")).as("sim"))
     val chunkStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*)

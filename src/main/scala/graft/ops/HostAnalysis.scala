@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Host-level crawl hygiene operators: crawl-trap detection, mirror-host
+  * detection, and per-host boilerplate (template) stripping.
+  *
+  * A production crawl's worst waste is structural, not per-page: a single
+  * calendar/session-id trap host can absorb millions of fetches of one
+  * document, a mirror farm multiplies every byte by its replica count, and
+  * site templates (nav bars, footers) repeat on every page of a host. The
+  * reference crawler rate-limits per host (fetchbot's per-host queues) but
+  * has no corpus-level view; these operators are the batch analyses a
+  * 100 TB pipeline runs over the harvested tables to feed back into the
+  * frontier policy (trap hosts → de-prioritize, mirrors → crawl one,
+  * boilerplate → strip before training).
+  *
+  * Scale design: everything is a hash-partitioned groupBy on host (or
+  * (host, line/content key)) with map-side partial aggregation — hosts are
+  * ~10^7-cardinality at web scale, so per-host state is small; nothing is
+  * ever all-pairs across hosts (mirror candidates come from banded MinHash
+  * like document LSH, never a host × host join).
+  */
+object HostAnalysis {
+
+  /** Per-host crawl-trap signals over a `(host, url, content_key)` frame,
+    * where `content_key` identifies the fetched content (body hash; see
+    * crawl/Stats.scala). One shuffle on host; counts and the distinct-key
+    * count combine map-side. Ratios are integer micro-units (x/1e6) so the
+    * output is bit-comparable across engines — no float division.
+    *
+    *  - `dup_ratio_micro`: 1e6 * (n_urls - distinct content) / n_urls —
+    *    near 1e6 means many URLs serve the same bytes (session ids,
+    *    calendar pages, soft-404 templates: the classic trap signature).
+    *  - `query_rate_micro`: fraction of urls carrying a query string —
+    *    parameter-explosion traps rank high here.
+    *  - `is_trap`: dup_ratio >= `minDupRatioMicro` over at least `minUrls`
+    *    urls (one-page hosts are trivially "all duplicate").
+    */
+  def trapSignals(urls: DataFrame, minUrls: Long = 2L,
+      minDupRatioMicro: Long = 800000L): DataFrame =
+    urls.groupBy("host").agg(
+        count(lit(1)).as("n_urls"),
+        countDistinct(col("content_key")).as("n_distinct_content"),
+        sum(when(instr(col("url"), "?") > 0, 1L).otherwise(0L)).as("n_query_"))
+      .select(col("host"), col("n_urls"), col("n_distinct_content"),
+        ((col("n_urls") - col("n_distinct_content")) * lit(1000000L)
+          / col("n_urls")).cast("long").as("dup_ratio_micro"),
+        (col("n_query_") * lit(1000000L) / col("n_urls")).cast("long")
+          .as("query_rate_micro"))
+      .withColumn("is_trap", col("n_urls") >= minUrls &&
+        col("dup_ratio_micro") >= minDupRatioMicro)
+
+  /** Mirror-host detection over a `(host, content_key)` frame: hosts whose
+    * content-key SETS overlap above `minJaccardMicro` (exact set Jaccard in
+    * integer micro-units). The standard mirror/replica-farm collapse before
+    * dedup — crawling ten mirrors of one site is 10x wasted fetch budget.
+    *
+    * Shape (the document-LSH layout lifted to hosts): per-host MinHash
+    * signature (`numHashes` seeded xxhash64 minima — map-side-combining
+    * min aggregates, one shuffle on host) → banded buckets (`bands` AND-rows
+    * each) → hot-bucket cap → candidate host pairs on narrow (band, bucket)
+    * rows → EXACT Jaccard verify by joining the content sets back per
+    * candidate (intersection count + inclusion-exclusion union). Never a
+    * host × host cross; recall for true mirrors (J = 1) is exact because
+    * identical sets hash to identical signatures.
+    */
+  def mirrorHosts(pages: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      minJaccardMicro: Long = 900000L, maxBucket: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPer = numHashes / bands
+    val sets = pages.select(col("host"), col("content_key")).distinct()
+
+    val minAggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("content_key"))).as(s"m$i"))
+    val sigs = sets.groupBy("host").agg(minAggs.head, minAggs.tail: _*)
+
+    val bandStructs = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        hash((b * rowsPer until (b + 1) * rowsPer).map(i => col(s"m$i")): _*)
+          .cast("long").as("bucket"))): _*)
+    val banded = Dedup.capBuckets(
+      sigs.select(col("host"), explode(bandStructs).as("bc"))
+        .select(col("host"), col("bc.band").as("band"),
+          col("bc.bucket").as("bucket")),
+      maxBucket, Seq("band", "bucket"))
+
+    val candidates = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.host") < col("b.host"))
+      .select(col("a.host").as("host_a"), col("b.host").as("host_b"))
+      .dropDuplicates("host_a", "host_b")
+
+    val sizes = sets.groupBy("host").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sets.select(col("host").as("host_a"), col("content_key")), Seq("host_a"))
+      .join(sets.select(col("host").as("host_b"), col("content_key")),
+        Seq("host_b", "content_key"))
+      .groupBy("host_a", "host_b").agg(count(lit(1)).as("n_inter"))
+
+    inter
+      .join(sizes.select(col("host").as("host_a"), col("n").as("n_a")), Seq("host_a"))
+      .join(sizes.select(col("host").as("host_b"), col("n").as("n_b")), Seq("host_b"))
+      .select(col("host_a"), col("host_b"),
+        (col("n_inter") * lit(1000000L)
+          / (col("n_a") + col("n_b") - col("n_inter"))).cast("long")
+          .as("jaccard_micro"))
+      .filter(col("jaccard_micro") >= minJaccardMicro)
+  }
+
+  /** Per-host boilerplate stripping (the CCNet template-removal pass): a
+    * line occurring on at least `minDocs` pages AND at least
+    * `minFracMicro`/1e6 of the host's pages is template chrome (nav,
+    * footer, cookie banner) and is removed from every page of that host.
+    * Output: (doc_id, clean_text) with surviving lines in original order.
+    *
+    * Shape: lines explode to narrow (host, line) rows (distinct per doc so
+    * within-page repeats don't inflate the document frequency), one
+    * groupBy (host, line) with map-side combine, the per-host boilerplate
+    * SET collects into one array row per host (bounded: a template is tens
+    * of lines; page bodies never qualify because they are unique), and the
+    * strip itself is a broadcast-or-shuffle join back on host plus a pure
+    * codegen'd `filter`/`array_join` — no second shuffle of the corpus.
+    * The frac compare is integer cross-multiplication — no float.
+    */
+  def boilerplateStrip(docs: DataFrame, minDocs: Long = 2L,
+      minFracMicro: Long = 800000L): DataFrame = {
+    val pages = docs.groupBy("host").agg(count(lit(1)).as("n_pages"))
+    val lineCounts = docs
+      .select(col("host"), col("doc_id"),
+        explode(array_distinct(split(col("text"), "\n"))).as("line"))
+      .groupBy("host", "line").agg(count(lit(1)).as("n_docs"))
+    val boiler = lineCounts.join(pages, Seq("host"))
+      .filter(col("n_docs") >= minDocs &&
+        col("n_docs") * lit(1000000L) >= col("n_pages") * minFracMicro)
+      .groupBy("host").agg(collect_set(col("line")).as("boiler_lines"))
+    docs.join(boiler, Seq("host"), "left")
+      .select(col("doc_id"),
+        array_join(filter(split(col("text"), "\n"), l =>
+          not(coalesce(array_contains(col("boiler_lines"), l), lit(false)))),
+          "\n").as("clean_text"))
+  }
+}

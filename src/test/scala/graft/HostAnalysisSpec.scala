@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.HostAnalysis
+
+class HostAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("trapSignals: duplicate-content host flags, unique host does not") {
+    val urls = Seq(
+      // trap.example: 4 urls, one content key, 2 carry query strings
+      ("trap.example", "http://trap.example/a?s=1", "X"),
+      ("trap.example", "http://trap.example/b?s=2", "X"),
+      ("trap.example", "http://trap.example/c", "X"),
+      ("trap.example", "http://trap.example/d", "X"),
+      // ok.example: 4 urls, 4 distinct keys
+      ("ok.example", "http://ok.example/1", "a"),
+      ("ok.example", "http://ok.example/2", "b"),
+      ("ok.example", "http://ok.example/3", "c"),
+      ("ok.example", "http://ok.example/4", "d"),
+      // single.example: 1 url — trivially all-duplicate but below minUrls
+      ("single.example", "http://single.example/", "z")
+    ).toDF("host", "url", "content_key")
+    val out = HostAnalysis.trapSignals(urls).collect()
+      .map(r => r.getAs[String]("host") -> r).toMap
+    val trap = out("trap.example")
+    assert(trap.getAs[Long]("dup_ratio_micro") == 750000L)
+    assert(trap.getAs[Long]("query_rate_micro") == 500000L)
+    assert(!trap.getAs[Boolean]("is_trap")) // 0.75 < 0.8 default threshold
+    val trap2 = HostAnalysis.trapSignals(urls, minDupRatioMicro = 700000L)
+      .collect().map(r => r.getAs[String]("host") -> r).toMap
+    assert(trap2("trap.example").getAs[Boolean]("is_trap"))
+    assert(!trap2("ok.example").getAs[Boolean]("is_trap"))
+    assert(!trap2("single.example").getAs[Boolean]("is_trap")) // minUrls gate
+    assert(out("ok.example").getAs[Long]("dup_ratio_micro") == 0L)
+  }
+
+  test("mirrorHosts: exact mirrors pair, partial overlap below threshold drops") {
+    val pages = (
+      (1 to 8).map(i => ("a.example", s"k$i")) ++       // A = {k1..k8}
+      (1 to 8).map(i => ("b.example", s"k$i")) ++       // B = A (mirror)
+      (1 to 4).map(i => ("c.example", s"k$i")) ++       // C ⊂ A, J = 0.5
+      (1 to 8).map(i => ("d.example", s"q$i"))          // D disjoint
+    ).toDF("host", "content_key")
+    val out = HostAnalysis.mirrorHosts(pages).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("host_a") == "a.example")
+    assert(out(0).getAs[String]("host_b") == "b.example")
+    assert(out(0).getAs[Long]("jaccard_micro") == 1000000L)
+    // lowered threshold: exact verify computes C's true Jaccard vs A and B
+    val loose = HostAnalysis.mirrorHosts(pages, minJaccardMicro = 400000L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("jaccard_micro"))).toMap
+    assert(loose(("a.example", "b.example")) == 1000000L)
+    // C pairs appear only if banding proposed them; when present they carry
+    // the exact 500000 micro-Jaccard (never an estimate)
+    loose.filterNot(_._1 == ("a.example", "b.example")).foreach { case (k, v) =>
+      assert(Set(("a.example", "c.example"), ("b.example", "c.example"))(k))
+      assert(v == 500000L)
+    }
+  }
+
+  test("mirrorHosts: duplicate page rows do not skew the set Jaccard") {
+    val pages = Seq(
+      ("a.example", "k1"), ("a.example", "k1"), ("a.example", "k2"),
+      ("b.example", "k1"), ("b.example", "k2")
+    ).toDF("host", "content_key")
+    val out = HostAnalysis.mirrorHosts(pages).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("jaccard_micro") == 1000000L)
+  }
+
+  test("boilerplateStrip: template lines removed, mid-frequency and body kept") {
+    val docs = Seq(
+      (0L, "h1", "NAV\nPROMO\nbody zero"),
+      (1L, "h1", "NAV\nbody one"),
+      (2L, "h1", "NAV\nPROMO\nbody two"),
+      (3L, "h1", "NAV\nbody three"),
+      (4L, "h2", "NAV\nbody four")          // single-page host: nothing strips
+    ).toDF("doc_id", "host", "text")
+    val out = HostAnalysis.boilerplateStrip(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "PROMO\nbody zero")   // NAV on 4/4 pages -> stripped
+    assert(out(1L) == "body one")           // PROMO on 2/4 -> kept
+    assert(out(4L) == "NAV\nbody four")     // 1-page host keeps everything
+  }
+
+  test("boilerplateStrip: within-doc repeats count once toward doc frequency") {
+    // FOO repeats twice inside doc 0 but appears in only 1 of 4 docs: kept;
+    // NAV is on 4/4 pages: stripped
+    val docs = Seq(
+      (0L, "h", "NAV\nFOO\nFOO\nbody a"),
+      (1L, "h", "NAV\nbody b"),
+      (2L, "h", "NAV\nbody c"),
+      (3L, "h", "NAV\nbody d")
+    ).toDF("doc_id", "host", "text")
+    val out = HostAnalysis.boilerplateStrip(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "FOO\nFOO\nbody a")
+    assert(out(1L) == "body b")
+  }
+}

@@ -48,6 +48,21 @@ class DedupSpec extends AnyFunSuite {
     assert(p01.get.getAs[Int]("hamming") == 0)
   }
 
+  test("signaturePairs: generic 64-bit banding — exact radius, no false pairs") {
+    // hand-built signatures: 10/11 at hamming 2, 12 at hamming 1 from 10,
+    // 13 differs in all four 16-bit chunks (hamming 8) — never a candidate
+    val sigs = Seq(
+      (10L, 0x0f0f0f0f0f0f0f0fL),
+      (11L, 0x0f0f0f0f0f0f0f0cL),            // 2 low bits flipped
+      (12L, 0x0f0f0f0f0f0f0f0eL),            // 1 low bit flipped
+      (13L, 0x1e0f170f0d0f0f4fL)             // >=1 bit per chunk
+    ).toDF("doc_id", "sim")
+    val pairs = Dedup.signaturePairs(sigs, maxHamming = 3).collect()
+    val got = pairs.map(r => ((r.getLong(0), r.getLong(1)),
+      r.getAs[Int]("hamming"))).toMap
+    assert(got == Map((10L, 11L) -> 2, (10L, 12L) -> 1, (11L, 12L) -> 1))
+  }
+
   test("simhash determinism") {
     assert(Dedup.simhash64("hello world") == Dedup.simhash64("hello world"))
     assert(Dedup.jaccard("a b c d e", "a b c d e", 3) == 1.0)

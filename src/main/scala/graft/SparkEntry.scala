@@ -910,6 +910,26 @@ object SparkEntry {
           lit("\nbody "), doc.cast("string")).as("text"))
       graft.ops.HostAnalysis.boilerplateStrip(docs)
     }),
+    // T19: unigram-LM cross-entropy — the absolute-perplexity leg of the
+    // CCNet quality trio (t15 rank proxy, t16 DSIR ratio); +1-smoothed
+    // corpus LM, per-doc (rounded nll sum, token count)
+    "t19_unigram_nll" -> ((s, d) =>
+      TextAnalysis.unigramCrossEntropy(t(s, d, "documents"))),
+    // H3: per-host URL templates — hex runs -> H then digit runs -> N;
+    // three planted shapes per host (/p/N, /cal/N/N?sid=N, /x/H)
+    "h3_url_templates" -> ((s, d) => {
+      val doc = col("doc_id")
+      val urls = t(s, d, "documents").select(
+        concat(lit("site"), (doc % 50).cast("string")).as("host"),
+        concat(lit("http://site"), (doc % 50).cast("string"),
+          lit(".example.com"),
+          when(doc % 3 === 0, concat(lit("/p/"), doc.cast("string")))
+            .when(doc % 3 === 1, concat(lit("/cal/2020/"),
+              (doc % 12).cast("string"), lit("?sid="), doc.cast("string")))
+            .otherwise(concat(lit("/x/deadbeefdeadbeef"),
+              doc.cast("string")))).as("url"))
+      graft.ops.HostAnalysis.urlTemplates(urls)
+    }),
 
     // ---------------- metadata entity (core/metadata.go, queries.go:202-257)
     // A4: content docs (planted: doc_id%7==0) having live metadata
@@ -1683,6 +1703,23 @@ object SparkEntry {
         | SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text FROM d LEFT JOIN
         | (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text FROM kept GROUP BY doc_id) k
         | USING (doc_id)""".stripMargin.replace("\n", "")),
+    "t19_unigram_nll" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        | toks AS (SELECT doc_id, t.t AS tok FROM w, unnest(w) AS t(t)),
+        | lm AS (SELECT tok, count(*) AS tc FROM toks GROUP BY 1),
+        | stats AS (SELECT count(*) AS v, sum(tc) AS tt FROM lm),
+        | lut AS (SELECT tok, -ln((tc + 1.0) / (tt + v)) AS nll FROM lm CROSS JOIN stats)
+        | SELECT doc_id, round(sum(nll), 4) AS nll_sum, count(*) AS n_tokens
+        | FROM toks JOIN lut USING (tok) GROUP BY 1""".stripMargin.replace("\n", "")),
+    "h3_url_templates" ->
+      ("""WITH u AS (SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) AS host,
+        | 'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' ||
+        |   CASE WHEN doc_id % 3 = 0 THEN '/p/' || CAST(doc_id AS VARCHAR)
+        |        WHEN doc_id % 3 = 1 THEN '/cal/2020/' || CAST(doc_id % 12 AS VARCHAR) || '?sid=' || CAST(doc_id AS VARCHAR)
+        |        ELSE '/x/deadbeefdeadbeef' || CAST(doc_id AS VARCHAR) END AS url FROM documents)
+        | SELECT host, regexp_replace(regexp_replace(url, '[0-9a-fA-F]{16,}', 'H', 'g'), '[0-9]+', 'N', 'g') AS template,
+        | count(*) AS n_urls FROM u GROUP BY 1, 2""".stripMargin.replace("\n", "")),
     "a4_meta_semi" ->
       s"WITH $metaSqlCtes SELECT count(*) AS n_content_with_meta FROM documents d WHERE d.doc_id % 7 = 0 AND EXISTS (SELECT 1 FROM meta m WHERE m.subject = '1220' || sha256(d.text) AND NOT m.deleted AND m.meta IS NOT NULL)",
     "a6b_latest_meta" ->

@@ -141,4 +141,20 @@ object HostAnalysis {
           not(coalesce(array_contains(col("boiler_lines"), l), lit(false)))),
           "\n").as("clean_text"))
   }
+
+  /** Per-host URL-template histogram: URLs collapse to structural templates
+    * (hex runs of 16+ chars → `H` first — session tokens/content hashes —
+    * then digit runs → `N`), counted per (host, template). A host whose url
+    * mass concentrates in one parameterized template (`/cal/N/N`,
+    * `/item/N?sid=N`) is the infinite-calendar / session-id trap shape
+    * BEFORE the duplicate content is ever fetched — the frontier-policy
+    * complement to [[trapSignals]], which needs fetched bodies.
+    * Map-only regexp (codegen'd, RE2-compatible) + one groupBy with
+    * map-side combine. */
+  def urlTemplates(urls: DataFrame): DataFrame =
+    urls.select(col("host"),
+        regexp_replace(
+          regexp_replace(col("url"), "[0-9a-fA-F]{16,}", "H"),
+          "[0-9]+", "N").as("template"))
+      .groupBy("host", "template").agg(count(lit(1)).as("n_urls"))
 }

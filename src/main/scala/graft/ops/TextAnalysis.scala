@@ -589,4 +589,40 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("ngram")).limit(k)
   }
+
+  /** Unigram-LM cross-entropy per document — the absolute-perplexity leg of
+    * the CCNet quality trio (rarityBuckets is the rank proxy, dsirScores the
+    * target/corpus RATIO; this is the plain language-model surprisal a
+    * perplexity filter thresholds on):
+    *
+    *   nll_sum(d) = Σ_{t ∈ tokens(d)} −ln((c_t + 1) / (T + V))
+    *
+    * with +1 smoothing over the observed vocabulary (c_t = corpus token
+    * count, T total tokens, V vocab size). Cross-entropy = nll_sum /
+    * n_tokens; emitted as the (rounded sum, count) pair so the division
+    * never rides on float rounding. Rounded to 4 decimals (the dsirScores
+    * treatment) so values hash-compare across engines despite summation
+    * order.
+    *
+    * Shape at 100 TB: the LM pass is ONE token groupBy (map-side combine);
+    * V and T broadcast as two scalars; the scoring join is token-keyed
+    * sort-merge (the vocabulary of a web corpus exceeds broadcast) followed
+    * by a per-doc combine of narrow (doc_id, nll) rows. In production the
+    * LM is typically learned on a hash-sample (Sampling.hashSample) first —
+    * scoring is unchanged. */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        t => length(t) > 0)).as("tok"))
+    val lm = toks.groupBy("tok").agg(count(lit(1)).as("tc"))
+    val stats = lm.agg(count(lit(1)).as("v"), sum("tc").as("tt"))
+    val lut = lm.crossJoin(broadcast(stats))
+      .select(col("tok"),
+        (-log((col("tc") + lit(1)).cast("double") / (col("tt") + col("v"))))
+          .as("nll"))
+    toks.join(lut, Seq("tok"))
+      .groupBy(idCol)
+      .agg(round(sum("nll"), 4).as("nll_sum"), count(lit(1)).as("n_tokens"))
+  }
 }

@@ -100,4 +100,48 @@ class HostAnalysisSpec extends AnyFunSuite {
     assert(out(0L) == "FOO\nFOO\nbody a")
     assert(out(1L) == "body b")
   }
+
+  test("urlTemplates: hex runs collapse before digits, histogram per host") {
+    val urls = Seq(
+      ("h", "http://h/p/1"), ("h", "http://h/p/2"), ("h", "http://h/p/33"),
+      ("h", "http://h/x/deadbeefdeadbeef42"),   // 16+ hex chars -> H
+      ("h", "http://h/cal/2020/7?sid=99"),
+      ("g", "http://g/p/1")
+    ).toDF("host", "url")
+    val out = HostAnalysis.urlTemplates(urls).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_urls")).toMap
+    assert(out(("h", "http://h/p/N")) == 3L)
+    assert(out(("h", "http://h/x/H")) == 1L)
+    assert(out(("h", "http://h/cal/N/N?sid=N")) == 1L)
+    assert(out(("g", "http://g/p/N")) == 1L)
+    assert(out.size == 4)
+  }
+}
+
+class UnigramLmSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("unigramCrossEntropy: closed-form nll on a tiny corpus") {
+    // corpus tokens (lowercased): a a a | b a -> counts {a: 4, b: 1},
+    // V = 2, T = 5; smoothed p(a) = 5/7, p(b) = 2/7
+    val docs = Seq((0L, "a a a"), (1L, "b A")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.unigramCrossEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val nllA = -math.log(5.0 / 7.0)
+    val nllB = -math.log(2.0 / 7.0)
+    def r4(x: Double) = math.rint(x * 10000) / 10000 // spec tolerance only
+    assert(out(0L)._2 == 3L)
+    assert(math.abs(out(0L)._1 - r4(3 * nllA)) < 2e-4)
+    assert(out(1L)._2 == 2L)
+    assert(math.abs(out(1L)._1 - r4(nllB + nllA)) < 2e-4)
+  }
+
+  test("unigramCrossEntropy: rarer tokens carry higher surprisal") {
+    val docs = Seq((0L, "common common common common common"),
+      (1L, "rare")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.unigramCrossEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1) / r.getLong(2))).toMap
+    assert(out(1L) > out(0L)) // per-token nll: rare > common
+  }
 }

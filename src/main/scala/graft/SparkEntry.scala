@@ -930,6 +930,31 @@ object SparkEntry {
               doc.cast("string")))).as("url"))
       graft.ops.HostAnalysis.urlTemplates(urls)
     }),
+    // T20: linear quality-classifier inference (fastText-style) — exact
+    // integer margins over a fixed micro-unit weight table; keep =
+    // mean margin >= 0.1 by cross-multiplication
+    "t20_quality_classifier" -> ((s, d) => {
+      import s.implicits._
+      val w = Seq(("data", 500000L), ("query", 300000L),
+        ("slow", -400000L), ("the", -100000L)).toDF("term", "w_micro")
+      graft.ops.Classify.linearScores(t(s, d, "documents"), w,
+        thrMicro = 100000L)
+    }),
+    // F14: registrable domain (eTLD+1) under PSL rule semantics — five
+    // planted host shapes exercise plain/longest/wildcard/exception/default
+    "f14_registrable_domain" -> ((s, d) => {
+      import s.implicits._
+      val doc = col("doc_id")
+      val i = doc.cast("string")
+      val hosts = t(s, d, "documents").select(
+        when(doc % 5 === 0, concat(lit("w"), i, lit(".shop.com")))
+          .when(doc % 5 === 1, concat(lit("x"), i, lit(".site.co.uk")))
+          .when(doc % 5 === 2, concat(lit("y"), i, lit(".zone.ck")))
+          .when(doc % 5 === 3, concat(lit("z"), i, lit(".www.ck")))
+          .otherwise(concat(lit("q"), i, lit(".edge.unknown"))).as("host"))
+      val rules = Seq("com", "co.uk", "uk", "*.ck", "!www.ck").toDF("rule")
+      graft.ops.UrlFilters.registrableDomain(hosts, rules)
+    }),
 
     // ---------------- metadata entity (core/metadata.go, queries.go:202-257)
     // A4: content docs (planted: doc_id%7==0) having live metadata
@@ -1720,6 +1745,23 @@ object SparkEntry {
         |        ELSE '/x/deadbeefdeadbeef' || CAST(doc_id AS VARCHAR) END AS url FROM documents)
         | SELECT host, regexp_replace(regexp_replace(url, '[0-9a-fA-F]{16,}', 'H', 'g'), '[0-9]+', 'N', 'g') AS template,
         | count(*) AS n_urls FROM u GROUP BY 1, 2""".stripMargin.replace("\n", "")),
+    "t20_quality_classifier" ->
+      ("""WITH w(term, wm) AS (VALUES ('data', 500000), ('query', 300000), ('slow', -400000), ('the', -100000)),
+        | toks AS (SELECT doc_id, t.t AS tok FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> length(x) > 0) AS l FROM documents) d, unnest(l) AS t(t)),
+        | cnt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+        | hit AS (SELECT doc_id, sum(wm) AS m FROM toks JOIN w ON tok = term GROUP BY 1)
+        | SELECT d.doc_id, CAST(coalesce(hit.m, 0) AS BIGINT) AS margin_micro,
+        |   CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_tokens,
+        |   (coalesce(cnt.n, 0) > 0 AND coalesce(hit.m, 0) >= 100000 * coalesce(cnt.n, 0)) AS keep
+        | FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id LEFT JOIN hit ON d.doc_id = hit.doc_id""".stripMargin.replace("\n", "")),
+    "f14_registrable_domain" ->
+      ("""WITH h AS (SELECT CAST(doc_id % 5 AS INT) AS k, CAST(doc_id AS VARCHAR) AS i FROM documents)
+        | SELECT CASE k WHEN 0 THEN 'w' || i || '.shop.com' WHEN 1 THEN 'x' || i || '.site.co.uk'
+        |   WHEN 2 THEN 'y' || i || '.zone.ck' WHEN 3 THEN 'z' || i || '.www.ck'
+        |   ELSE 'q' || i || '.edge.unknown' END AS host,
+        | CASE k WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'zone.ck' WHEN 3 THEN 'ck' ELSE 'unknown' END AS public_suffix,
+        | CASE k WHEN 0 THEN 'shop.com' WHEN 1 THEN 'site.co.uk' WHEN 2 THEN 'y' || i || '.zone.ck' WHEN 3 THEN 'www.ck' ELSE 'edge.unknown' END AS registrable_domain
+        | FROM h""".stripMargin.replace("\n", "")),
     "a4_meta_semi" ->
       s"WITH $metaSqlCtes SELECT count(*) AS n_content_with_meta FROM documents d WHERE d.doc_id % 7 = 0 AND EXISTS (SELECT 1 FROM meta m WHERE m.subject = '1220' || sha256(d.text) AND NOT m.deleted AND m.meta IS NOT NULL)",
     "a6b_latest_meta" ->

@@ -727,6 +727,42 @@ class UrlFiltersSpec extends AnyFunSuite {
       .select(UrlFilters.hostSuffixesCol($"h")).as[Seq[String]].head()
     assert(out == Seq("a.b.example.com", "b.example.com", "example.com", "com"))
   }
+
+  test("registrableDomain: plain, longest-wins, wildcard, exception, default") {
+    val rules = Seq("com", "co.uk", "uk", "*.ck", "!www.ck").toDF("rule")
+    val hosts = Seq(
+      "example.com",           // plain rule
+      "a.b.example.com",       // deep subdomain, same registrable
+      "example.co.uk",         // longest match wins over "uk"
+      "blog.example.CO.UK",    // case-folded
+      "foo.bar.ck",            // wildcard: "bar.ck" is public -> foo.bar.ck
+      "www.ck",                // exception: public suffix is "ck" -> www.ck
+      "sub.www.ck",            // exception still prevails
+      "host.unknown",          // default "*": last label public
+      "com"                    // host IS a public suffix -> null registrable
+    ).toDF("host")
+    val out = UrlFilters.registrableDomain(hosts, rules).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out("example.com") == (("com", "example.com")))
+    assert(out("a.b.example.com") == (("com", "example.com")))
+    assert(out("example.co.uk") == (("co.uk", "example.co.uk")))
+    assert(out("blog.example.co.uk") == (("co.uk", "example.co.uk")))
+    assert(out("foo.bar.ck") == (("bar.ck", "foo.bar.ck")))
+    assert(out("www.ck") == (("ck", "www.ck")))
+    assert(out("sub.www.ck") == (("ck", "www.ck")))
+    assert(out("host.unknown") == (("unknown", "host.unknown")))
+    assert(out("com") == (("com", null)))
+  }
+
+  test("registrableDomain: wildcard spans exactly one label") {
+    val rules = Seq("*.ck").toDF("rule")
+    // "a.b.ck": candidate "b.ck" matches *.ck (public), so registrable is
+    // "a.b.ck"; the 3-label candidate "a.b.ck" must NOT match *.ck
+    val out = UrlFilters.registrableDomain(
+        Seq("a.b.ck").toDF("host"), rules).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out("a.b.ck") == "a.b.ck")
+  }
 }
 
 class SitemapSpec extends AnyFunSuite {

@@ -955,6 +955,54 @@ object SparkEntry {
       val rules = Seq("com", "co.uk", "uk", "*.ck", "!www.ck").toDF("rule")
       graft.ops.UrlFilters.registrableDomain(hosts, rules)
     }),
+    // G5: redirect-chain resolution by pointer doubling — 4-hop planted
+    // chains collapse to their terminal; every 10th group closes into a
+    // 4-cycle, whose pointers return to themselves after 32 (= 0 mod 4)
+    // hops and are flagged unresolved
+    "g5_resolve_redirects" -> ((s, d) => {
+      val doc = col("doc_id")
+      val g = floor(doc / 4).cast("string")
+      val pos = (doc % 4).cast("int")
+      def node(p: Column) = concat(lit("http://r"), g, lit("/p"), p.cast("string"))
+      val redirects = t(s, d, "documents").select(
+        node(pos).as("src"),
+        when(floor(doc / 4) % 10 === 0 && pos === 3, node(lit(0)))
+          .otherwise(node(pos + 1)).as("dst"))
+      graft.ops.Graph.resolveRedirects(redirects)
+    }),
+    // H4: retroactive robots-compliance audit — hosts site0-24 disallow
+    // /private, hosts site25-49 publish no robots; docs%4==0 live under
+    // /private
+    "h4_robots_audit" -> ((s, d) => {
+      import s.implicits._
+      val doc = col("doc_id")
+      val pages = t(s, d, "documents").select(
+        concat(lit("site"), (doc % 50).cast("string")).as("host"),
+        concat(lit("http://site"), (doc % 50).cast("string"),
+          lit(".example.com"),
+          when(doc % 4 === 0, concat(lit("/private/"), doc.cast("string")))
+            .otherwise(concat(lit("/pub/"), doc.cast("string")))).as("url"))
+      val robots = (0 until 25)
+        .map(k => (s"site$k", "User-agent: *\nDisallow: /private"))
+        .toDF("host", "robots_txt")
+      graft.ops.HostAnalysis.robotsAudit(pages, robots, agent = "GraftBot")
+    }),
+    // D14: incremental delta-vs-corpus dedup — the per-wave production
+    // shape: each cluster's %4==0 member re-arrives (id-shifted) as the
+    // delta and must match all 4 of its cluster's corpus members; no
+    // corpus-internal pair is ever recomputed
+    "d14_delta_dedup" -> ((s, d) => {
+      val corpus = t(s, d, "documents")
+        .select(col("doc_id"), corpusText(col("doc_id")).as("text"))
+      // text computed BEFORE the id shift: a same-select rename would make
+      // the higher-order-function lambda inside corpusText resolve doc_id
+      // against the shifted OUTPUT column (t250000x... clusters), not input
+      val delta = t(s, d, "documents").filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), corpusText(col("doc_id")).as("text"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      Dedup.minhashDeltaPairs(corpus, delta, k = 1, numHashes = 64,
+        bands = 16, minEstJaccard = 0.5).select("corpus_id", "delta_id")
+    }),
 
     // ---------------- metadata entity (core/metadata.go, queries.go:202-257)
     // A4: content docs (planted: doc_id%7==0) having live metadata
@@ -1762,6 +1810,19 @@ object SparkEntry {
         | CASE k WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'zone.ck' WHEN 3 THEN 'ck' ELSE 'unknown' END AS public_suffix,
         | CASE k WHEN 0 THEN 'shop.com' WHEN 1 THEN 'site.co.uk' WHEN 2 THEN 'y' || i || '.zone.ck' WHEN 3 THEN 'www.ck' ELSE 'edge.unknown' END AS registrable_domain
         | FROM h""".stripMargin.replace("\n", "")),
+    "g5_resolve_redirects" ->
+      ("""WITH d AS (SELECT CAST(doc_id // 4 AS VARCHAR) AS g, CAST(doc_id % 4 AS INT) AS p, (doc_id // 4) % 10 = 0 AS cyc FROM documents)
+        | SELECT 'http://r' || g || '/p' || CAST(p AS VARCHAR) AS src,
+        |   CASE WHEN cyc THEN 'http://r' || g || '/p' || CAST(p AS VARCHAR)
+        |        ELSE 'http://r' || g || '/p4' END AS final_url,
+        |   NOT cyc AS resolved FROM d""".stripMargin.replace("\n", "")),
+    "h4_robots_audit" ->
+      ("""SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) AS host,
+        | 'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' ||
+        |   CASE WHEN doc_id % 4 = 0 THEN '/private/' ELSE '/pub/' END || CAST(doc_id AS VARCHAR) AS url,
+        | NOT (doc_id % 4 = 0 AND doc_id % 50 < 25) AS allowed FROM documents""".stripMargin.replace("\n", "")),
+    "d14_delta_dedup" ->
+      "SELECT b.doc_id AS corpus_id, a.doc_id + 1000000 AS delta_id FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 WHERE a.doc_id % 4 = 0",
     "a4_meta_semi" ->
       s"WITH $metaSqlCtes SELECT count(*) AS n_content_with_meta FROM documents d WHERE d.doc_id % 7 = 0 AND EXISTS (SELECT 1 FROM meta m WHERE m.subject = '1220' || sha256(d.text) AND NOT m.deleted AND m.meta IS NOT NULL)",
     "a6b_latest_meta" ->

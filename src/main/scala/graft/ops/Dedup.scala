@@ -167,6 +167,61 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
+  /** Incremental (delta-vs-corpus) MinHash dedup — the shape a PRODUCTION
+    * pipeline actually runs: each crawl wave dedups its NEW documents
+    * against the accumulated corpus without recomputing corpus-internal
+    * pairs. [[minhashPairs]]' self-join re-pays O(corpus) banding every
+    * run; here the corpus's banded (doc_id, band, bucket) table is computed
+    * once (and in production persisted/bucket-clustered across waves — it
+    * is append-only exactly like the urls table), and a wave joins only its
+    * delta's bands against it: the per-wave cost is O(delta + matched
+    * buckets), independent of corpus size.
+    *
+    * Hot corpus buckets (boilerplate shingles shared by millions of docs)
+    * are capped on the corpus side before the join — same guardrail as the
+    * self-join path. Signatures rejoin by id only for surviving candidate
+    * pairs; the bucket join itself carries narrow id rows.
+    *
+    * @return (corpus_id, delta_id, est_jaccard) — delta docs whose
+    *         signature agreement with an existing corpus doc clears
+    *         `minEstJaccard`; a delta doc absent here is NEW */
+  def minhashDeltaPairs(corpus: DataFrame, delta: DataFrame, k: Int = 5,
+      numHashes: Int = 64, bands: Int = 16, minEstJaccard: Double = 0.5,
+      maxBucket: Int = 4096): DataFrame = {
+    val rowsPer = numHashes / bands
+    def sigsOf(docs: DataFrame): DataFrame = docs.select(col("doc_id"),
+      minhashUdf(col("text"), lit(k), lit(numHashes)).as("sig"))
+    def bandedOf(sigs: DataFrame): DataFrame = {
+      val bandStructs = array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          hash(slice(col("sig"), b * rowsPer + 1, rowsPer), lit(b)).cast("long")
+            .as("bucket"))): _*)
+      sigs.select(col("doc_id"), explode(bandStructs).as("bc"))
+        .select(col("doc_id"), col("bc.band").as("band"),
+          col("bc.bucket").as("bucket"))
+    }
+    val corpusSigs = sigsOf(corpus)
+    val deltaSigs = sigsOf(delta)
+    val corpusBanded =
+      capBuckets(bandedOf(corpusSigs), maxBucket, Seq("band", "bucket"))
+    val pairIds = bandedOf(deltaSigs).alias("d")
+      .join(corpusBanded.alias("c"),
+        col("d.band") === col("c.band") && col("d.bucket") === col("c.bucket"))
+      .select(col("c.doc_id").as("corpus_id"), col("d.doc_id").as("delta_id"))
+      .dropDuplicates("corpus_id", "delta_id")
+    pairIds
+      .join(corpusSigs.select(col("doc_id").as("corpus_id"),
+        col("sig").as("sig_c")), Seq("corpus_id"))
+      .join(deltaSigs.select(col("doc_id").as("delta_id"),
+        col("sig").as("sig_d")), Seq("delta_id"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_c"), col("sig_d"), (x, y) =>
+          when(x === y, 1).otherwise(0)), lit(0),
+          (acc, x) => acc + x).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("corpus_id", "delta_id", "est_jaccard")
+  }
+
   /** SimHash near-dup pairs: 4×16-bit chunk banding guarantees recall for
     * hamming distance <= 3 (pigeonhole), then exact hamming filter. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,

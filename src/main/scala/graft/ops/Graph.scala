@@ -245,4 +245,38 @@ object Graph {
       .select(col("id"), coalesce(col("hub_s"), lit(0L)).as("hub_s"),
         coalesce(col("auth_s"), lit(0L)).as("auth_s"))
   }
+
+  /** Resolve redirect CHAINS to final targets by pointer doubling —
+    * canonicalization through 301/302 maps is the url-level dedup pass a
+    * crawl corpus needs before any content join (a→b→c→d must all collapse
+    * onto d). One hop per join round would take O(longest chain) shuffles;
+    * squaring the pointer map (f ← f∘f) resolves every chain of length
+    * ≤ `hopCap` in ceil(log2(hopCap)) rounds — 5 self-joins for the default
+    * 32-hop cap (real fetchers stop at 10-20 hops), each a key-shuffle of
+    * narrow (src, dst) string pairs; lineage truncated per round.
+    *
+    * Multiple recorded redirects per src (re-crawls disagreeing over time)
+    * resolve deterministically to min(dst). Rows whose final target still
+    * has an outgoing redirect after the rounds sit on a cycle or exceed the
+    * hop cap — exactly what a fetcher reports as a redirect loop — and come
+    * back `resolved = false`.
+    *
+    * @return one row per distinct src: (src, final_url, resolved) */
+  def resolveRedirects(redirects: DataFrame, hopCap: Int = 32): DataFrame = {
+    require(hopCap >= 1, s"hopCap must be positive (got $hopCap)")
+    var f = redirects.groupBy(col("src")).agg(min(col("dst")).as("dst"))
+      .localCheckpoint(true)
+    val rounds = math.ceil(math.log(hopCap.toDouble) / math.log(2.0)).toInt
+    for (_ <- 0 until rounds) {
+      f = f.alias("a")
+        .join(f.alias("b"), col("a.dst") === col("b.src"), "left")
+        .select(col("a.src").as("src"),
+          coalesce(col("b.dst"), col("a.dst")).as("dst"))
+        .localCheckpoint(true)
+    }
+    f.join(f.select(col("src").as("dst")).distinct()
+        .withColumn("open_", lit(true)), Seq("dst"), "left")
+      .select(col("src"), col("dst").as("final_url"),
+        coalesce(!col("open_"), lit(true)).as("resolved"))
+  }
 }

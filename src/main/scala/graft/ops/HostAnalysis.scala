@@ -157,4 +157,32 @@ object HostAnalysis {
           regexp_replace(col("url"), "[0-9a-fA-F]{16,}", "H"),
           "[0-9]+", "N").as("template"))
       .groupBy("host", "template").agg(count(lit(1)).as("n_urls"))
+
+  /** Retroactive robots-compliance audit: flag every fetched url a host's
+    * CURRENT robots.txt disallows for `agent`. The crawler enforces robots
+    * at fetch time (P8), but a corpus outlives its crawl — sites change
+    * their policies, corpora get merged from crawls with different
+    * politeness settings, and takedown/compliance reviews ask exactly this
+    * question of data that is already on disk.
+    *
+    * Input: pages `(url, host)` (+ any payload columns, passed through) and
+    * the per-host robots catalog `(host, robots_txt)`; a host with no row
+    * or an empty body allows everything (the fetch-time rule,
+    * Scheduler.robotsAllowUdf). One host-keyed join (the robots side is
+    * O(hosts)) + a map-only evaluation of the same RobotsCache-backed
+    * matcher the scheduler gates with — audit verdicts are identical to
+    * fetch-time verdicts by construction. */
+  def robotsAudit(pages: DataFrame, robots: DataFrame,
+      agent: String): DataFrame = {
+    val allowUdf = udf { (txt: String, path: String) =>
+      if (txt == null || txt.isEmpty) true
+      else graft.crawl.RobotsCache.get(txt)
+        .testAgent(if (path == null || path.isEmpty) "/" else path, agent)
+    }
+    pages.join(robots.select(col("host"), col("robots_txt")), Seq("host"), "left")
+      .withColumn("allowed",
+        allowUdf(coalesce(col("robots_txt"), lit("")),
+          graft.functions.Funcs.pathUdf(col("url"))))
+      .drop("robots_txt")
+  }
 }

@@ -168,4 +168,34 @@ class GraphSpec extends AnyFunSuite {
       Graph.hitsScaled(edges, iters = 40)
     }
   }
+
+  test("resolveRedirects: chains collapse, cycles and self-loops flagged, min-dst tie") {
+    val r = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"),  // chain -> d
+      ("x", "y"), ("y", "x"),              // 2-cycle
+      ("s", "s"),                          // self-loop
+      ("m", "q"), ("m", "p")               // disagreeing re-crawls: min wins
+    ).toDF("src", "dst")
+    val out = Graph.resolveRedirects(r).collect()
+      .map(row => row.getString(0) -> ((row.getString(1), row.getBoolean(2)))).toMap
+    assert(out("a") == (("d", true)))
+    assert(out("b") == (("d", true)))
+    assert(out("c") == (("d", true)))
+    assert(!out("x")._2 && !out("y")._2)
+    assert(out("s") == (("s", false)))
+    assert(out("m") == (("p", true)))
+    assert(out.size == 7)
+  }
+
+  test("resolveRedirects: hop cap bounds chain length like a real fetcher") {
+    // 40-hop chain: n0 -> n01 -> ... -> n40 (zero-padded so min-dst is a no-op)
+    val chain = (0 until 40).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("src", "dst")
+    val capped = Graph.resolveRedirects(chain, hopCap = 32).collect()
+      .map(row => row.getString(0) -> row.getBoolean(2)).toMap
+    assert(!capped("n00")) // 40 hops > 32-hop cap: reported unresolved
+    assert(capped("n20")) // 20 hops to the terminal: fine
+    val tall = Graph.resolveRedirects(chain, hopCap = 64).collect()
+      .map(row => row.getString(0) -> ((row.getString(1), row.getBoolean(2)))).toMap
+    assert(tall("n00") == (("n40", true)))
+  }
 }

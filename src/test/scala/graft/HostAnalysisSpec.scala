@@ -145,3 +145,38 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(out(1L) > out(0L)) // per-token nll: rare > common
   }
 }
+
+class RobotsAuditSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("robotsAudit: disallowed paths flagged; absent/empty robots allow all") {
+    val pages = Seq(
+      ("h", "http://h/public/x"),
+      ("h", "http://h/private/y"),
+      ("h", "http://h/private"),          // prefix itself
+      ("g", "http://g/private/z"),        // no robots row for g
+      ("e", "http://e/private/w")         // empty robots body
+    ).toDF("host", "url")
+    val robots = Seq(
+      ("h", "User-agent: *\nDisallow: /private"),
+      ("e", "")).toDF("host", "robots_txt")
+    val out = HostAnalysis.robotsAudit(pages, robots, agent = "TestBot")
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[Boolean]("allowed")).toMap
+    assert(out("http://h/public/x"))
+    assert(!out("http://h/private/y"))
+    assert(!out("http://h/private"))
+    assert(out("http://g/private/z"))
+    assert(out("http://e/private/w"))
+  }
+
+  test("robotsAudit: agent-specific groups override the wildcard") {
+    val pages = Seq(("h", "http://h/a"), ("h", "http://h/b")).toDF("host", "url")
+    val robots = Seq(("h",
+      "User-agent: *\nDisallow: /a\n\nUser-agent: SpecialBot\nDisallow: /b"))
+      .toDF("host", "robots_txt")
+    val special = HostAnalysis.robotsAudit(pages, robots, "SpecialBot")
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[Boolean]("allowed")).toMap
+    assert(special("http://h/a") && !special("http://h/b"))
+  }
+}

@@ -34,6 +34,22 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("minhashDeltaPairs: delta matches corpus, corpus-internal pairs never emitted") {
+    val corpus = docs // ids 0-4; 0 and 1 identical, 2 near, 3/4 unrelated
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 0/1
+      (11L, "totally novel never before seen zeta tokens qux")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashDeltaPairs(corpus, delta, k = 3, numHashes = 64,
+      bands = 16, minEstJaccard = 0.4).collect()
+    val ids = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 10L)) && ids.contains((1L, 10L)))
+    assert(!ids.exists(_._2 == 11L))        // new doc: no match
+    assert(ids.forall(p => p._1 < 10L && p._2 >= 10L)) // never corpus-corpus
+    val exact = out.find(r => r.getLong(0) == 0L && r.getLong(1) == 10L).get
+    assert(exact.getAs[Double]("est_jaccard") == 1.0)
+  }
+
   test("jaccard verification keeps true near-dups") {
     val cands = Dedup.minhashPairs(docs, k = 3, numHashes = 64, bands = 16, 0.3)
     val verified = Dedup.verifyJaccard(cands, docs, k = 3, minJaccard = 0.5).collect()

@@ -50,6 +50,27 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.getAs[Double]("est_jaccard") == 1.0)
   }
 
+  test("minhashDeltaPairs: no signature array crosses the bucket-join exchanges") {
+    val corpus = docs
+    val delta = Seq((10L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashDeltaPairs(corpus, delta, k = 3)
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the (band, bucket) candidate join and the (corpus_id, delta_id) dedup
+    // must carry narrow id rows only; the 64-long signatures rejoin by id
+    exchanges.foreach { e =>
+      val part = e.outputPartitioning.toString
+      if (part.contains("band") || part.contains("corpus_id")) {
+        val arrays = e.output.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty,
+          s"arrays ${arrays.map(_.name)} cross a candidate exchange ($part)")
+      }
+    }
+  }
+
   test("jaccard verification keeps true near-dups") {
     val cands = Dedup.minhashPairs(docs, k = 3, numHashes = 64, bands = 16, 0.3)
     val verified = Dedup.verifyJaccard(cands, docs, k = 3, minJaccard = 0.5).collect()
@@ -778,6 +799,15 @@ class UrlFiltersSpec extends AnyFunSuite {
         Seq("a.b.ck").toDF("host"), rules).collect()
       .map(r => r.getString(0) -> r.getString(2)).toMap
     assert(out("a.b.ck") == "a.b.ck")
+  }
+
+  test("registrableDomain plan: both rule joins broadcast, never sort-merge") {
+    val rules = Seq("com", "*.ck").toDF("rule")
+    val hosts = Seq("a.example.com").toDF("host")
+    val plan = UrlFilters.registrableDomain(hosts, rules)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
   }
 }
 

@@ -203,7 +203,11 @@ object Bench {
     try {
       // JIT/codegen warmup on a smaller run of the same plan
       waveKernel(spark, cfg.copy(hosts = math.max(cfg.hosts / 16, 8)))
-      val times = (0 until 3).map { _ =>
+      // 2 warm iterations per JVM: within-JVM variance is small once warm
+      // (the noise that matters is across JVM launches, handled by the
+      // interleaved-rounds min outside), and the third iteration bought
+      // nothing but wall time against the driver's round budget
+      val times = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         val (_, tm, td) = waveKernel(spark, cfg)
         val dt = (System.nanoTime() - t0) / 1e9
@@ -353,12 +357,21 @@ object Bench {
     // (hypervisor neighbors, memory-bus state), so the kernel's 8→32 axis
     // is only interpretable against a ceiling captured at the same moment
     val probe = if (skipScaling) (1.0, 1.0, 1.0, 1.0) else probeInSubprocess()
-    val round2 = if (skipScaling) zeroes else masters.map(kernelInSubprocess(_, scaleCfg))
+    // rounds 2/3 re-measure only the HEADLINE levels (local[2]/[8]/[32] —
+    // the levels that feed a committed ratio); the diagnostic thread-twin
+    // levels local[4]/local[16] feed no ratio on their own and keep their
+    // round-1 measurement, trading a little diagnostic precision for ~8
+    // minutes of round budget
+    def headlineRound(prior: Seq[(Double, Long, Double, Double)]) =
+      if (skipScaling) zeroes
+      else masters.zipWithIndex.map { case (m, i) =>
+        if (i == 1 || i == 3) prior(i) else kernelInSubprocess(m, scaleCfg) }
+    val round2 = headlineRound(round1)
     // third interleaved round: hypervisor-neighbor noise on this box swings
     // a single measurement ±15%, and min-of-2 still let one noisy level
     // distort a ratio by ~10% (round-3's committed 8→32 axis); min-of-3
     // approximates the uncontended time at each level
-    val round3 = if (skipScaling) zeroes else masters.map(kernelInSubprocess(_, scaleCfg))
+    val round3 = headlineRound(round1)
     val best = Seq(round1, round2, round3).transpose.map(_.minBy(_._1))
     val Seq(t2, t4, t8, t16, t32) = best.map(_._1)
 
@@ -383,9 +396,12 @@ object Bench {
     // session no-Spark machine ceiling (machine_ceiling_8_32 below).
     val clMasters = Seq("local-cluster[1,4,8192]", "local-cluster[4,4,8192]")
     def clZeroes = clMasters.map(_ => (1.0, 1L, 1.0, 1.0))
-    val cl1 = if (skipScaling) clZeroes else clMasters.map(kernelInSubprocess(_, scaleCfg))
-    val cl2 = if (skipScaling) clZeroes else clMasters.map(kernelInSubprocess(_, scaleCfg))
-    val clBest = cl1.zip(cl2).map { case (a, b) => if (a._1 <= b._1) a else b }
+    // three interleaved rounds here too: this axis carries the north rule's
+    // literal N-vs-4N-executors shape and sits right at the 0.8 line, so it
+    // gets the same noise control as the headline thread levels
+    val clRounds = (0 until 3).map { _ =>
+      if (skipScaling) clZeroes else clMasters.map(kernelInSubprocess(_, scaleCfg)) }
+    val clBest = clRounds.transpose.map(_.minBy(_._1))
     val n8 = round1(2)._2
     val n32 = round1(4)._2
     val thr2 = n8 / t2

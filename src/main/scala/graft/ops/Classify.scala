@@ -63,7 +63,11 @@ object Classify {
       (if (buckets > 0) tf.join(broadcast(lut), Seq("f"))
        else tf.join(lut, Seq("f")))
         .groupBy(idCol).agg(sum(col("tf") * col("w")).as("margin_micro"))
-    val counts = toks.groupBy(idCol).agg(count(lit(1)).as("n_tokens"))
+    // sum the already-built tf frame instead of re-aggregating toks: toks
+    // is un-cached, so a second groupBy over it would re-run the corpus
+    // split+explode and pay a second corpus-sized shuffle for the same
+    // number (featOf maps every token, so sum(tf) == count(toks))
+    val counts = tf.groupBy(idCol).agg(sum("tf").as("n_tokens"))
     docs.select(col(idCol))
       .join(counts, Seq(idCol), "left")
       .join(hits, Seq(idCol), "left")

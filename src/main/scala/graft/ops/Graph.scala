@@ -222,10 +222,13 @@ object Graph {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
+    // coalesce to 0: max() over an EMPTY edge frame is null, and a bare
+    // getLong would throw an opaque NPE — an empty graph should fall
+    // through to an empty (correctly-schemed) result instead
     val dOut = e.groupBy("src").agg(count(lit(1)).as("c"))
-      .agg(max("c")).head().getLong(0)
+      .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
     val dIn = e.groupBy("dst").agg(count(lit(1)).as("c"))
-      .agg(max("c")).head().getLong(0)
+      .agg(coalesce(max("c"), lit(0L))).head().getLong(0)
     require((BigInt(dOut) * BigInt(dIn)).pow(iters) <= BigInt(Long.MaxValue) / 4,
       s"hitsScaled overflows: (dmaxOut=$dOut * dmaxIn=$dIn)^$iters exceeds Long range")
 

@@ -45,9 +45,13 @@ object HostAnalysis {
         countDistinct(col("content_key")).as("n_distinct_content"),
         sum(when(instr(col("url"), "?") > 0, 1L).otherwise(0L)).as("n_query_"))
       .select(col("host"), col("n_urls"), col("n_distinct_content"),
-        ((col("n_urls") - col("n_distinct_content")) * lit(1000000L)
-          / col("n_urls")).cast("long").as("dup_ratio_micro"),
-        (col("n_query_") * lit(1000000L) / col("n_urls")).cast("long")
+        // `div`, not `/`: Spark's Divide promotes to double, and a
+        // double-then-truncate can land one off from exact integer
+        // division once numerators get large — the oracle (DuckDB `//`)
+        // and the bit-comparable contract above are integer division
+        expr("(n_urls - n_distinct_content) * 1000000L div n_urls")
+          .cast("long").as("dup_ratio_micro"),
+        expr("n_query_ * 1000000L div n_urls").cast("long")
           .as("query_rate_micro"))
       .withColumn("is_trap", col("n_urls") >= minUrls &&
         col("dup_ratio_micro") >= minDupRatioMicro)
@@ -70,7 +74,12 @@ object HostAnalysis {
       minJaccardMicro: Long = 900000L, maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPer = numHashes / bands
+    // localCheckpoint: `sets` feeds the signatures, both exact-verify joins,
+    // and the size counts — without materializing it, Spark re-runs the
+    // full pages scan + distinct shuffle once per consumer (4x the dominant
+    // I/O at corpus scale); eager so the cost is paid exactly once here
     val sets = pages.select(col("host"), col("content_key")).distinct()
+      .localCheckpoint(true)
 
     val minAggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("content_key"))).as(s"m$i"))
@@ -103,8 +112,9 @@ object HostAnalysis {
       .join(sizes.select(col("host").as("host_a"), col("n").as("n_a")), Seq("host_a"))
       .join(sizes.select(col("host").as("host_b"), col("n").as("n_b")), Seq("host_b"))
       .select(col("host_a"), col("host_b"),
-        (col("n_inter") * lit(1000000L)
-          / (col("n_a") + col("n_b") - col("n_inter"))).cast("long")
+        // integer division (`div`), matching the oracle's `//` and the
+        // bit-comparable micro-unit contract — see trapSignals
+        expr("n_inter * 1000000L div (n_a + n_b - n_inter)").cast("long")
           .as("jaccard_micro"))
       .filter(col("jaccard_micro") >= minJaccardMicro)
   }

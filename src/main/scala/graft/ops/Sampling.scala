@@ -50,9 +50,15 @@ object Sampling {
     * Rows whose group has no weight row are dropped (rate 0). */
   def weightedSample(df: DataFrame, groupCol: Column, weights: DataFrame,
       key: Column, salt: String = ""): DataFrame = {
+    // clamp to [0, 2^32-1] exactly like thresholdHex: without the lower
+    // bound a negative rate would reach format_string as a negative long,
+    // print as 16 chars of two's complement ("ffffffff…"), and every 8-hex
+    // prefix would compare BELOW it — keeping the whole group instead of
+    // dropping it
     val w = weights.select(col("group").as("_mix_group"),
       format_string("%08x",
-        least(floor(col("rate") * 4294967296.0), lit(4294967295.0)).cast("long"))
+        greatest(least(floor(col("rate") * 4294967296.0), lit(4294967295.0)),
+          lit(0.0)).cast("long"))
         .as("_mix_threshold"))
     df.withColumn("_mix_group", groupCol)
       .join(broadcast(w), Seq("_mix_group"))

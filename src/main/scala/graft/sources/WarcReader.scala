@@ -76,6 +76,14 @@ object WarcReader {
         val in: InputStream =
           if (file.endsWith(".gz")) new GZIPInputStream(stream, 1 << 16)
           else new BufferedInputStream(stream, 1 << 16)
+        // the iterator closes at natural EOF, but a limit()/take()/failed
+        // task abandons it mid-file — close on task completion so partially
+        // consumed segments never leak a file handle (close is idempotent)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => () }
+          }
         recordIterator(file, in)
       }
     }

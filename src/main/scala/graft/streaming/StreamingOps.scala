@@ -55,7 +55,10 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (host: String, rows: Iterator[SeqIn], state: GroupState[HostSeqState]) =>
           val start = state.getOption.map(_.next).getOrElse(0L)
-          val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.url))
+          // order by the FULL timestamp (getTime alone truncates to millis,
+          // so sub-millisecond-apart rows would tie and keep nondeterministic
+          // shuffle-arrival order across replays), then url
+          val sorted = rows.toArray.sortBy(r => (r.ts.getTime, r.ts.getNanos, r.url))
           state.update(HostSeqState(start + sorted.length))
           sorted.iterator.zipWithIndex.map { case (r, i) =>
             SeqOut(host, r.url, r.ts, start + i)

@@ -169,6 +169,13 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("hitsScaled on an empty edge frame returns empty, not an NPE") {
+    // regression: max() over zero rows is null; a bare getLong threw an
+    // opaque NullPointerException instead of yielding an empty result
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.hitsScaled(empty, iters = 2).count() == 0L)
+  }
+
   test("resolveRedirects: chains collapse, cycles and self-loops flagged, min-dst tie") {
     val r = Seq(
       ("a", "b"), ("b", "c"), ("c", "d"),  // chain -> d

@@ -55,6 +55,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(!out.contains("grp3") && !out.contains("grp4")) // unweighted drop
   }
 
+  test("weighted sample clamps rates: negative drops all, >1 keeps all") {
+    // regression: an unclamped negative rate turned into a negative long,
+    // printed as 16 chars of two's complement, and kept the WHOLE group
+    val weights = Seq(("grp0", -0.1), ("grp1", 1.7)).toDF("group", "rate")
+    val out = Sampling.weightedSample(rows, col("grp"), weights, col("id"), "w")
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("grp0"), "negative rate must behave like rate 0")
+    assert(out("grp1") == 400L, "rate > 1 must behave like rate 1")
+  }
+
   test("group quota caps each group at k, deterministically") {
     val a = Sampling.groupQuota(rows.repartition(3), col("grp"), col("id"), 7)
     val counts = a.groupBy("grp").count().collect().map(_.getLong(1))

@@ -48,4 +48,24 @@ class StreamingOpsSpec extends AnyFunSuite {
         ("h2", "v1", 0L), ("h2", "v2", 1L)), s"got $got")
     } finally q.stop()
   }
+
+  test("hostFifoSeq orders sub-millisecond timestamps by full precision") {
+    // regression: the tie-break compared ts.getTime (millis), so rows a
+    // microsecond apart tied and kept nondeterministic arrival order
+    implicit val sqlCtx = spark.sqlContext
+    def tsn(nanos: Int): Timestamp = {
+      val t = new Timestamp(1000L); t.setNanos(nanos); t
+    }
+    val in = MemoryStream[SeqIn]
+    val q = StreamingOps.hostFifoSeq(in.toDS())
+      .writeStream.format("memory").queryName("seq_ns").outputMode("append").start()
+    try {
+      // same millisecond, different microseconds; fed in reverse order
+      in.addData(SeqIn("h", "late", tsn(200000)), SeqIn("h", "early", tsn(100000)))
+      q.processAllAvailable()
+      val got = spark.table("seq_ns").as[SeqOut].collect()
+        .map(r => r.url -> r.seq).toMap
+      assert(got == Map("early" -> 0L, "late" -> 1L), s"got $got")
+    } finally q.stop()
+  }
 }

@@ -539,7 +539,9 @@ object SparkEntry {
           lit("/s1.xml</loc></sitemap></sitemapindex>")))
         .otherwise(concat(lit("<urlset><url><loc> "), site, lit("/doc/"),
           col("doc_id").cast("string"), lit(".html </loc></url><url><loc>"),
-          site, lit("/about.html</loc></url></urlset>")))
+          site, lit("/about.html</loc></url><url><loc>"), site,
+          // entity-escaped loc, as the protocol mandates for '&'
+          lit("/search?q=a&amp;b</loc></url></urlset>")))
       t(s, d, "documents").select(col("doc_id"),
         to_json(Sitemap.robotsSitemapsCol(robots)).as("sitemaps_json"),
         to_json(Sitemap.sitemapLocsCol(xml)).as("locs_json"),
@@ -1547,7 +1549,7 @@ object SparkEntry {
         | concat('["http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/sitemap.xml","http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/news.xml"]') AS sitemaps_json,
         | CASE WHEN doc_id % 3 = 0
         |   THEN concat('["http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/s1.xml"]')
-        |   ELSE concat('["http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/doc/', CAST(doc_id AS VARCHAR), '.html","http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/about.html"]')
+        |   ELSE concat('["http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/doc/', CAST(doc_id AS VARCHAR), '.html","http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/about.html","http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/search?q=a&b"]')
         | END AS locs_json,
         | doc_id % 3 = 0 AS is_index
         | FROM documents""".stripMargin.replace("\n", ""),

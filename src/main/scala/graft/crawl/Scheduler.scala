@@ -424,7 +424,12 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
             cols.contains("per_shard_items") &&
               row.getAs[Long]("per_shard_items") == perShardItems &&
             cols.contains("fpp") && row.getAs[Double]("fpp") == cfg.bloomFpp
-          if (geometryOk) Some(row.getAs[String]("dir")) else rebuildBloom()
+          // dir existence: a resume from an old snapshot may reference a
+          // shard dir that post-commit pruning has since deleted — rebuild
+          // from the urls table (the same path a pre-bloom snapshot takes)
+          val dirOk = geometryOk && java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(row.getAs[String]("dir")))
+          if (dirOk) Some(row.getAs[String]("dir")) else rebuildBloom()
         case None if store.exists("urls") => rebuildBloom()
         case None => None
       }
@@ -839,6 +844,9 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     val fetchLogRows = robotsLog.unionByName(cmdLog).unionByName(disallowedLog)
 
     // ---- 12. stage, lineage, atomic commit
+    // the bloom thunk records which shard dir the new manifest references,
+    // so post-commit pruning knows the one live dir without a Spark job
+    val bloomKeep = new java.util.concurrent.atomic.AtomicReference[String](null)
     val urlAppends = withMor(seedCreates, w, 1)
       .unionByName(withMor(getUpdates, w, 2))
       .unionByName(withMor(headUpdates, w, 2))
@@ -884,6 +892,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
             perShardItems, cfg.bloomFpp, d, bloomDir)
           d
         } else bloomDir.get
+      bloomKeep.set(newDir)
       ("seen_bloom_meta", store.stageRewrite("seen_bloom_meta",
         Seq((w, newDir, cfg.bloomShards, perShardItems, cfg.bloomFpp))
           .toDF("wave", "dir", "shards", "per_shard_items", "fpp")))
@@ -922,6 +931,14 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
 
     store.commitWave(w)
 
+    // prune superseded seen_bloom dirs now that the commit re-pointed the
+    // manifest: each published dir is CUMULATIVE (the merge folds the
+    // previous version's shards in), so only the referenced dir is live —
+    // without this a W-wave crawl keeps W full copies of the filter set
+    // (these dirs live outside TableStore snapshot expiry). A resume from
+    // an older snapshot falls back to rebuild-from-urls (dir check above).
+    Option(bloomKeep.get()).foreach(pruneBloomDirs)
+
     Seq(frontier0, urlsSeedFull, urlsWave, seedRowsCk, robotsFetched, hostPlan, budgeted,
       fetched, getOk, headHtml, getUpdates, headUpdates, linksRaw, dstFirst,
       dstCreates, newEnqueues, whitelist)
@@ -938,6 +955,25 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     }
 
     WaveStats(w, takenCount, okCount, enqCount, depth, urlsReadCount)
+  }
+
+  /** Delete every seen_bloom version dir except `keep` (the dir the
+    * just-committed manifest references). Safe mid-crash: pruning runs
+    * only AFTER commitWave, so an interrupted wave leaves the previous
+    * meta and its dir intact, and the orphaned new dir is swept on the
+    * next successful wave. */
+  private def pruneBloomDirs(keep: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(s"${store.rootPath}/seen_bloom")
+    if (!Files.isDirectory(base)) return
+    val keepName = Paths.get(keep).getFileName
+    import scala.jdk.CollectionConverters._
+    Files.list(base).iterator().asScala.toSeq
+      .filter(d => Files.isDirectory(d) && d.getFileName != keepName)
+      .foreach { d =>
+        Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+      }
   }
 
   // -------------------------------------------------------------- run loops
@@ -989,6 +1025,13 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         lower(lit(url)).contains(lower($"url")))
       .isEmpty
     if (!valid) return false
+    // uncrawlables gate, same invariant as the wave seeder's anti-join:
+    // a manually-blocked url must never re-enter the frontier, including
+    // via POST /que. Without this, a seed AFTER markUncrawlable would
+    // append a queued transition at a higher f_wave that outranks the
+    // eviction tombstone and the url would be fetched again. (Deleting
+    // the uncrawlable row un-blocks the url — MutationsSpec.)
+    if (!uncrawlablesView.filter($"url" === url).isEmpty) return false
     val ts = timestamp_seconds(lit(baseEpochSec + (w * cfg.waveWindowSec).toLong))
     val row = Seq((url, "GET", GoUrl.hostOf(url), "C", w,
         w * SeqStride + (1L << 20), StateQueued, NeverFetchedScore))
@@ -1038,16 +1081,66 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     * taken tombstones fold away) as one wave-stamped version, bounding the
     * transition-log read amplification on the same cadence as urls. */
   def compactTables(): Unit = {
+    // Winner rows keep their ORIGINAL MOR stamps. Re-stamping everything at
+    // the compaction wave (the old behavior) made the CDC readers
+    // (`urlsChangedSince`/`frontierChangedSince`, which filter on
+    // w_wave/f_wave > checkpoint) report the WHOLE table as changed after
+    // every compaction — with compactEvery=8 that collapsed the documented
+    // O(delta) incremental read into a full-table reprocess every 8 waves.
+    // Preserving stamps is latest-wins-safe: later deltas are always
+    // stamped at a strictly higher wave, so they still outrank.
     store.compact("urls",
-      withMor(urlsView, store.currentWave, 2).repartition(col("ubucket")))
+      urlsWinnersStamped.repartition(col("ubucket")))
     store.compact("links", linksView)
     store.compact("snapshots", snapshotsView)
     store.compact("frontier",
-      withFrontierMor(frontierDF, store.currentWave, 0).repartition(col("fbucket")))
-    store.compact("host_state",
-      hostStateDF.withColumn("h_wave", lit(store.currentWave)))
+      frontierWinnersStamped.repartition(col("fbucket")))
+    store.compact("host_state", hostWinnersStamped)
     store.commitWave(store.currentWave)
   }
+
+  /** urls latest-wins winners WITH their original (w_wave, w_prio, ubucket)
+    * columns — the compaction shape (the live view drops the stamps). */
+  private def urlsWinnersStamped: DataFrame =
+    store.readAppendOnly("urls") match {
+      case None => withMor(emptyDF[UrlRow], store.currentWave, 2).limit(0)
+      case Some(df0raw) =>
+        val withB =
+          if (df0raw.columns.contains("ubucket"))
+            df0raw.withColumn("ubucket", coalesce($"ubucket", bucketCol($"url")))
+          else df0raw.withColumn("ubucket", bucketCol($"url"))
+        val df0 = withB // pre-MOR files read as wave-0 stamps
+          .withColumn("w_wave", coalesce($"w_wave", lit(0L)))
+          .withColumn("w_prio", coalesce($"w_prio", lit(0)))
+        val w = Window.partitionBy("url").orderBy(desc("w_wave"), desc("w_prio"))
+        df0.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1).drop("rn_")
+    }
+
+  /** Frontier latest-wins winners WITH stamps; taken tombstones (and the
+    * urls they supersede) drop out of the compacted log entirely — history
+    * truncation is the point of compaction. */
+  private def frontierWinnersStamped: DataFrame =
+    frontierLog match {
+      case None =>
+        withFrontierMor(emptyDF[FrontierRow], store.currentWave, 0).limit(0)
+      case Some(log) =>
+        val w = Window.partitionBy("url").orderBy(desc("f_wave"), desc("f_prio"))
+        log.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1)
+          .drop("rn_").filter($"state" =!= StateTaken)
+    }
+
+  /** host_state latest-wins winners WITH their h_wave stamp. */
+  private def hostWinnersStamped: DataFrame =
+    store.readAppendOnly("host_state") match {
+      case None => emptyDF[HostStateRow].withColumn("h_wave", lit(0L)).limit(0)
+      case Some(df0raw) =>
+        val df0 =
+          if (df0raw.columns.contains("h_wave"))
+            df0raw.withColumn("h_wave", coalesce($"h_wave", lit(0L)))
+          else df0raw.withColumn("h_wave", lit(0L))
+        val w = Window.partitionBy("host", "lane").orderBy(desc("h_wave"))
+        df0.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1).drop("rn_")
+    }
 
   // -------------------------------------------------------------- helpers
 

@@ -19,9 +19,19 @@ object Sitemap {
     regexp_extract_all(robotsTxt, lit("(?im)^[ \\t]*sitemap:[ \\t]*(\\S+)"), lit(1))
 
   /** `<loc>` urls from sitemap / sitemap-index XML, surrounding whitespace
-    * trimmed. */
-  def sitemapLocsCol(xml: Column): Column =
-    regexp_extract_all(xml, lit("(?is)<loc>\\s*(.*?)\\s*</loc>"), lit(1))
+    * trimmed, the five predefined XML entities decoded — sitemaps.org
+    * REQUIRES loc values to be entity-escaped, so an `&` in a query string
+    * always arrives as `&amp;` and the crawl target is wrong without the
+    * decode. `&amp;` is decoded LAST so `&amp;lt;` round-trips to the
+    * literal `&lt;` the producer escaped, never a double-decode. */
+  def sitemapLocsCol(xml: Column): Column = {
+    val raw = regexp_extract_all(xml, lit("(?is)<loc>\\s*(.*?)\\s*</loc>"), lit(1))
+    transform(raw, u =>
+      replace(replace(replace(replace(replace(u,
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&apos;"), lit("'")),
+        lit("&amp;"), lit("&")))
+  }
 
   /** True when the XML is a sitemap INDEX (its locs are more sitemaps, not
     * pages) — routes the url to the sitemap lane instead of the page lane. */

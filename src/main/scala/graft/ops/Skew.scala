@@ -25,12 +25,30 @@ object Skew {
 
   /** Inner equi-join with a salted exchange. Output columns: every `big`
     * column, then every non-key `small` column (names must not collide,
-    * as with a plain `join(..., Seq(key))`). */
+    * as with a plain `join(..., Seq(key))`).
+    *
+    * The salt hashes only the big side's HASHABLE columns — Spark's
+    * hash/xxhash64 reject MapType anywhere in the type (urls rows carry
+    * `meta: Map[String,String]`, so hashing the whole row struct threw at
+    * analysis time). Fully-duplicate rows still share a salt (inherent to
+    * deterministic row hashing — determinism is what keeps retries safe);
+    * rows-distinct-only-by-a-map-column degrade the same way. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = big.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => col(f.name))
+    require(saltCols.nonEmpty,
+      "saltedJoin: big side has no hashable (non-map) column to derive a salt from")
     val bigSalted = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(xxhash64(struct(saltCols: _*)), lit(salts)).cast("int"))
     val smallReplicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigSalted.join(smallReplicated, Seq(key, "_salt")).drop("_salt")

@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
 object UrlFilters {
 
   /** Host extracted with built-ins (no UDF): text after "://" up to the
-    * first "/", port and userinfo stripped, lowercased. */
+    * first "/", "?" or "#" (a query or fragment can directly follow the
+    * authority with no path slash — "http://h?x" is valid and common),
+    * port and userinfo stripped, lowercased. */
   def hostCol(url: Column): Column = {
-    val auth = substring_index(substring_index(url, "://", -1), "/", 1)
+    val auth = substring_index(substring_index(substring_index(
+      substring_index(url, "://", -1), "/", 1), "?", 1), "#", 1)
     lower(substring_index(substring_index(auth, "@", -1), ":", 1))
   }
 

@@ -90,7 +90,15 @@ object WarcWriter {
           val pid = TaskContext.getPartitionId()
           val name = f"segment-$pid%05d.warc.gz"
           val finalPath = new Path(outDir, name)
-          val tmpPath = new Path(outDir, name + ".inprogress")
+          // attempt-unique staging name: with speculation/zombie retries two
+          // attempts of the same partition write CONCURRENTLY, and a shared
+          // tmp path could publish the slower attempt's half-written bytes
+          // under the final name. With unique tmp names the last rename
+          // always publishes a COMPLETE segment (attempts are deterministic,
+          // so competing complete segments are byte-identical).
+          val attempt = Option(TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmpPath = new Path(outDir, name + s".inprogress-$attempt")
           val fs = finalPath.getFileSystem(serConf.value)
           val out = fs.create(tmpPath, true)
           var offset = 0L

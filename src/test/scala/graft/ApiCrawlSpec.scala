@@ -137,6 +137,45 @@ class ApiCrawlSpec extends AnyFunSuite {
       "seeded-then-blocked url was still fetched")
   }
 
+  test("seedUrl after markUncrawlable is refused until the block is deleted") {
+    // regression: seedUrl appended a queued transition at a HIGHER f_wave
+    // than the eviction tombstone, so the blocked url outranked its own
+    // eviction and was fetched next wave
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("api-seed-blocked"))
+    val s = new Scheduler(spark, store, CrawlConfig())
+    s.bootstrap(
+      Fixtures.pagesDF(spark, Fixtures.staticSitePages),
+      Fixtures.sourcesDF(spark, Fixtures.staticSiteSources))
+    val u = s"$MY/gallery.html"
+    s.markUncrawlable(u)
+    assert(!s.seedUrl(u), "seed of a manually-blocked url must be refused")
+    assert(s.frontierView.filter($"url" === u).count() == 0)
+    // deleting the uncrawlable row un-blocks the url (MutationsSpec twin)
+    new Mutations(spark, store).deleteUncrawlable(u)
+    assert(s.seedUrl(u), "seed must succeed once the block is deleted")
+  }
+
+  test("a wave prunes superseded seen_bloom dirs; only the live dir remains") {
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val store = new TableStore(spark, SparkTestBase.tempDir("api-bloom-prune"))
+    val s = new Scheduler(spark, store, CrawlConfig(compactEvery = 0))
+    s.bootstrap(
+      Fixtures.pagesDF(spark, Fixtures.staticSitePages),
+      Fixtures.sourcesDF(spark, Fixtures.staticSiteSources))
+    s.run(maxWaves = 40)
+    val bloomBase = java.nio.file.Paths.get(s"${store.rootPath}/seen_bloom")
+    import scala.jdk.CollectionConverters._
+    val dirs = java.nio.file.Files.list(bloomBase).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_)).toSeq
+    assert(dirs.size == 1,
+      s"expected exactly the live shard dir, found: ${dirs.map(_.getFileName)}")
+    // the survivor is the dir the committed manifest references
+    val metaDir = store.readLatest("seen_bloom_meta").get
+      .head().getAs[String]("dir")
+    assert(dirs.head.toString == metaDir)
+  }
+
   test("compaction leaves all views unchanged (T6/Iceberg rewrite equivalence)") {
     val compacted = crawl(CrawlConfig(compactEvery = 2))
     def canon(s: Scheduler) = (

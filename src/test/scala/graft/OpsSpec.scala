@@ -738,6 +738,19 @@ class UrlFiltersSpec extends AnyFunSuite {
     assert(kept == Set(3L, 6L))
   }
 
+  test("blocklist: query/fragment directly after the host still match") {
+    // regression: hostCol split only on '/', so "http://h?x" kept the
+    // query in the host and the blocked url slipped through
+    val urls = Seq(
+      (0L, "http://ads.example.com?track=1"),
+      (1L, "http://ads.example.com#frag"),
+      (2L, "http://safe.org?x=1")).toDF("doc_id", "url")
+    val bl = Seq("example.com").toDF("domain")
+    val kept = UrlFilters.blocklistFilter(spark, urls, bl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
   test("allowlist is the exact complement on the same list") {
     val urls = Seq(
       (0L, "http://example.com/a"),
@@ -837,6 +850,20 @@ class SitemapSpec extends AnyFunSuite {
       .map { case (i, l, b) => i -> ((l, b)) }.toMap
     assert(rows(0) == ((Seq("http://a.com/1", "http://a.com/2"), false)))
     assert(rows(1) == ((Seq("http://a.com/s1.xml"), true)))
+  }
+
+  test("<loc> decodes the five XML entities the protocol mandates") {
+    // regression: sitemaps.org REQUIRES '&' in a loc to arrive as &amp;,
+    // so the raw capture was a literally-wrong crawl target
+    val xml = "<urlset><url><loc>http://a.com/p?x=1&amp;y=2</loc></url>" +
+      "<url><loc>http://a.com/&lt;odd&gt;&quot;q&quot;&apos;s&apos;</loc></url>" +
+      "<url><loc>http://a.com/&amp;lt;literal</loc></url></urlset>"
+    val out = Seq(Tuple1(xml)).toDF("x")
+      .select(Sitemap.sitemapLocsCol($"x")).as[Seq[String]].head()
+    assert(out == Seq(
+      "http://a.com/p?x=1&y=2",
+      "http://a.com/<odd>\"q\"'s'",
+      "http://a.com/&lt;literal")) // &amp;lt; is the ESCAPED literal "&lt;"
   }
 }
 

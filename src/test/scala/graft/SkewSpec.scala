@@ -42,4 +42,16 @@ class SkewSpec extends AnyFunSuite {
     val plain = big.join(dim, Seq("k")).count()
     assert(Skew.saltedJoin(big, dim, "k", salts = 1).count() == plain)
   }
+
+  test("a map-typed column on the big side does not break the salt") {
+    // regression: hashing the whole row struct threw AnalysisException on
+    // MapType (UrlRow.meta is Map[String,String] — the scaladoc's own
+    // example input); the salt now derives from the hashable columns only
+    val bigWithMap = big.withColumn("meta",
+      map(lit("a"), $"id".cast("string")))
+    val plain = big.join(dim, Seq("k")).count()
+    val salted = Skew.saltedJoin(bigWithMap, dim, "k", salts = 8)
+    assert(salted.count() == plain)
+    assert(salted.columns.contains("meta"))
+  }
 }

@@ -91,6 +91,29 @@ class TimeTravelSpec extends AnyFunSuite {
     assert(cdcRows.subsetOf(liveRows))
   }
 
+  test("compaction preserves MOR stamps: CDC stays O(delta), views unchanged") {
+    // regression: compactTables re-stamped every winner row at the
+    // compaction wave, so a CDC consumer checkpointed anywhere earlier got
+    // the WHOLE table back after every compaction.
+    // own crawl: compaction truncates frontier history, which the shared
+    // `full` fixture's other CDC assertions depend on
+    val (sched, store) = crawl(maxWaves = 40)
+    val beforeViews = (canonUrls(sched.urlsView),
+      sched.frontierView.selectExpr("concat(url,'|',lane,'|',state)")
+        .as[String].collect().sorted.toSeq)
+    val checkpoint = store.currentWave // consumer fully caught up
+    sched.compactTables()
+    // nothing actually changed since the checkpoint — CDC must stay empty
+    assert(sched.urlsChangedSince(checkpoint).count() == 0,
+      "compaction re-stamped rows: CDC reports the whole table as changed")
+    assert(sched.frontierChangedSince(checkpoint).count() == 0,
+      "frontier compaction re-stamped transitions")
+    // and the live views are byte-identical across the rewrite
+    assert(canonUrls(sched.urlsView) == beforeViews._1)
+    assert(sched.frontierView.selectExpr("concat(url,'|',lane,'|',state)")
+      .as[String].collect().sorted.toSeq == beforeViews._2)
+  }
+
   test("frontierChangedSince: queue-side CDC incl. taken evictions") {
     val (sched, store) = full
     val raw = store.readAppendOnly("frontier").get

@@ -285,11 +285,13 @@ final class TableStore(spark: SparkSession, rootDir: String) {
     val (drop, keep) = waves.splitAt(math.max(0, waves.size - keepLast))
     val snapDir = root.resolve("_snapshots")
     drop.foreach(w => Files.deleteIfExists(snapDir.resolve(f"w$w%012d.json")))
-    // versions referenced by any retained snapshot or the live manifest
+    // versions referenced by any retained snapshot, the live manifest, or
+    // the staged-but-uncommitted set (an expire between stage and commit
+    // must not sweep the wave's fresh deltas out from under commitWave)
     val retained: Map[String, Set[Long]] = {
       val snaps = keep.flatMap(asOf).map(_.tableVersions) :+ committed.map {
         case (t, vs) => t -> vs
-      }
+      } :+ pendingVersions.map { case (t, vs) => t -> vs }
       snaps.flatten.groupBy(_._1).map { case (t, kvs) =>
         t -> kvs.flatMap(_._2).toSet
       }
@@ -340,11 +342,17 @@ final class TableStore(spark: SparkSession, rootDir: String) {
     * version and drop history (Iceberg rewrite_data_files equivalent). */
   def compact(table: String, view: DataFrame,
       partitionBy: Seq[String] = Nil): Unit = {
-    val next = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
+    // same atomic reservation as stageAppend/stageRewrite: compaction runs
+    // at wave end, but a concurrent staged write to another table must
+    // never race this table's read-modify-write of the shared map
+    val next = stageLock.synchronized {
+      val n = pendingVersions.getOrElse(table, Seq(-1L)).lastOption.getOrElse(-1L) + 1
+      pendingVersions = pendingVersions.updated(table, Seq(n))
+      n
+    }
     val w = view.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tableDir(table, next).toString)
-    pendingVersions = pendingVersions.updated(table, Seq(next))
     unionSchema.update(table, view.schema) // history is dropped
   }
 }

@@ -399,10 +399,13 @@ object Dedup {
       .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
     val nodes = init.select(col("u").as("doc_id"))
       .unionByName(init.select(col("v").as("doc_id"))).distinct()
-    var edges = init.filter(col("u") =!= col("v"))
+    // round-scoped checkpoints: each round's edge set replaces the last —
+    // free the superseded blocks instead of accumulating one copy per round
+    val ic = new IterCheckpoint(pairs.sparkSession)
+    var edges = ic.next(init.filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct())
 
     // large-star: every node links its strictly-larger neighbors to the
     // minimum of its neighborhood (incl. itself); small-star: every node
@@ -438,7 +441,7 @@ object Dedup {
     var converged = edges.isEmpty
     var round = 0
     while (!converged && round < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      edges = ic.next(smallStar(largeStar(edges)))
       val cur = checksum(edges)
       converged = cur == prev
       prev = cur

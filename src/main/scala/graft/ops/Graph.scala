@@ -44,7 +44,10 @@ object Graph {
     // weighted edges: contribution fraction carried per edge
     val we = e.join(deg, Seq("src")).localCheckpoint(true)
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    // round-scoped checkpoints: each round's ranks supersede the last —
+    // free the old blocks instead of accumulating one node-set copy/round
+    val ic = new IterCheckpoint(spark)
+    var ranks = ic.next(nodes.withColumn("rank", lit(1.0 / n)))
     for (_ <- 1 to iters) {
       val contribs = we.join(ranks, we("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("d")).as("c"))
@@ -52,12 +55,11 @@ object Graph {
       // rank parked on sinks this round (nodes with no out-edges)
       val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      ranks = ic.next(nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("in_rank"), lit(0.0)) + lit(dangling / n)))
-            .as("rank"))
-        .localCheckpoint(true)
+            .as("rank")))
     }
     ranks
   }
@@ -97,7 +99,8 @@ object Graph {
       .select(col("src"), col("dst"), (lit(102L) / col("d")).cast("long").as("w"))
       .localCheckpoint(true)
 
-    var ranks = nodes.withColumn("s", lit(1L)).localCheckpoint(true)
+    val ic = new IterCheckpoint(edges.sparkSession)
+    var ranks = ic.next(nodes.withColumn("s", lit(1L)))
     var unit = 1L // 120^k: the teleport term 18 * 120^k
     for (_ <- 1 to iters) {
       val contribs = we.join(ranks, we("src") === ranks("id"))
@@ -105,10 +108,9 @@ object Graph {
         .groupBy("id").agg(sum("c").as("in_s"))
       // sink-free + (src+1) %N-style fixtures leave no node without
       // in-edges, but stay total anyway: teleport term applies to all nodes
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      ranks = ic.next(nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (lit(18L * unit) + coalesce(col("in_s"), lit(0L))).as("s"))
-        .localCheckpoint(true)
+          (lit(18L * unit) + coalesce(col("in_s"), lit(0L))).as("s")))
       unit *= 120L
     }
     ranks.select(col("id"), col("s").as("s_rank"))
@@ -150,19 +152,18 @@ object Graph {
       .select(col("src"), col("dst"), (lit(102L) / col("d")).cast("long").as("w"))
       .localCheckpoint(true)
 
-    var ranks = flagged
-      .select(col("id"), when(col("is_seed"), lit(1L)).otherwise(lit(0L)).as("s"))
-      .localCheckpoint(true)
+    val ic = new IterCheckpoint(edges.sparkSession)
+    var ranks = ic.next(flagged
+      .select(col("id"), when(col("is_seed"), lit(1L)).otherwise(lit(0L)).as("s")))
     var unit = 1L // 120^k: the per-round seed teleport term 18 * 120^k
     for (_ <- 1 to iters) {
       val contribs = we.join(ranks, we("src") === ranks("id"))
         .select(col("dst").as("id"), (col("w") * col("s")).as("c"))
         .groupBy("id").agg(sum("c").as("in_s"))
-      ranks = flagged.join(contribs, Seq("id"), "left")
+      ranks = ic.next(flagged.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (when(col("is_seed"), lit(18L * unit)).otherwise(lit(0L)) +
-            coalesce(col("in_s"), lit(0L))).as("s"))
-        .localCheckpoint(true)
+            coalesce(col("in_s"), lit(0L))).as("s")))
       unit *= 120L
     }
     ranks.select(col("id"), col("s").as("s_rank"))
@@ -183,18 +184,21 @@ object Graph {
   def crawlDepth(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().localCheckpoint(true)
-    var visited = seeds.select(col("id").cast("long").as("id")).distinct()
-      .withColumn("depth", lit(0)).localCheckpoint(true)
+    // two round-scoped tracks: frontier(k) replaces frontier(k-1) once
+    // expanded, visited(k) replaces visited(k-1) once unioned
+    val icF = new IterCheckpoint(edges.sparkSession)
+    val icV = new IterCheckpoint(edges.sparkSession)
+    var visited = icV.next(seeds.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("depth", lit(0)))
     var frontier = visited
     var d = 0
     while (d < maxDepth && !frontier.isEmpty) {
       d += 1
-      frontier = e.join(frontier, e("src") === frontier("id"))
+      frontier = icF.next(e.join(frontier, e("src") === frontier("id"))
         .select(e("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
-        .withColumn("depth", lit(d))
-        .localCheckpoint(true)
-      visited = visited.unionByName(frontier).localCheckpoint(true)
+        .withColumn("depth", lit(d)))
+      visited = icV.next(visited.unionByName(frontier))
     }
     visited
   }
@@ -232,15 +236,17 @@ object Graph {
     require((BigInt(dOut) * BigInt(dIn)).pow(iters) <= BigInt(Long.MaxValue) / 4,
       s"hitsScaled overflows: (dmaxOut=$dOut * dmaxIn=$dIn)^$iters exceeds Long range")
 
+    val icH = new IterCheckpoint(edges.sparkSession)
+    val icA = new IterCheckpoint(edges.sparkSession)
     var a = nodes.withColumn("v", lit(1L))
     var h: DataFrame = null
     for (_ <- 1 to iters) {
-      h = e.join(a, e("dst") === a("id"))
+      h = icH.next(e.join(a, e("dst") === a("id"))
         .groupBy(e("src")).agg(sum("v").as("v"))
-        .select(col("src").as("id"), col("v")).localCheckpoint(true)
-      a = e.join(h, e("src") === h("id"))
+        .select(col("src").as("id"), col("v")))
+      a = icA.next(e.join(h, e("src") === h("id"))
         .groupBy(e("dst")).agg(sum("v").as("v"))
-        .select(col("dst").as("id"), col("v")).localCheckpoint(true)
+        .select(col("dst").as("id"), col("v")))
     }
     nodes
       .join(h.select(col("id"), col("v").as("hub_s")), Seq("id"), "left")
@@ -267,15 +273,14 @@ object Graph {
     * @return one row per distinct src: (src, final_url, resolved) */
   def resolveRedirects(redirects: DataFrame, hopCap: Int = 32): DataFrame = {
     require(hopCap >= 1, s"hopCap must be positive (got $hopCap)")
-    var f = redirects.groupBy(col("src")).agg(min(col("dst")).as("dst"))
-      .localCheckpoint(true)
+    val ic = new IterCheckpoint(redirects.sparkSession)
+    var f = ic.next(redirects.groupBy(col("src")).agg(min(col("dst")).as("dst")))
     val rounds = math.ceil(math.log(hopCap.toDouble) / math.log(2.0)).toInt
     for (_ <- 0 until rounds) {
-      f = f.alias("a")
+      f = ic.next(f.alias("a")
         .join(f.alias("b"), col("a.dst") === col("b.src"), "left")
         .select(col("a.src").as("src"),
-          coalesce(col("b.dst"), col("a.dst")).as("dst"))
-        .localCheckpoint(true)
+          coalesce(col("b.dst"), col("a.dst")).as("dst")))
     }
     f.join(f.select(col("src").as("dst")).distinct()
         .withColumn("open_", lit(true)), Seq("dst"), "left")

@@ -476,6 +476,32 @@ object SparkEntry {
         .select(col("target_uri").as("url"), col("record_id"),
           col("content_length"), col("body").cast("string").as("body"))
     }),
+    // S9: WET-style conversion-record emit (the WARC→WET shape of a
+    // Common-Crawl text-extraction pass): extracted text framed as a
+    // WARC/1.0 `conversion` record, WARC-Refers-To linking back to the s5b
+    // response record. All built-ins — the full-archive WET emit codegens.
+    "s9_wet_emit" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.Warc.conversionRecordCol(
+          urlCol(col("doc_id")),
+          lit("2017-01-01T00:00:00Z"),
+          concat(lit("<urn:sha256:"),
+            sha2(concat(lit("wet:"), col("text")).cast("binary"), 256), lit(">")),
+          concat(lit("<urn:sha256:"), sha2(col("text").cast("binary"), 256),
+            lit(">")),
+          col("text")).as("wet_record"))
+    }),
+    // H5: per-host crawl-budget apportionment (largest-remainder, exact
+    // integer arithmetic — the oracle reimplements Hamilton independently
+    // in SQL, so the gate covers base shares, remainder ranking, and the
+    // exact-total property)
+    "h5_crawl_budget" -> ((s, d) => {
+      val hosts = t(s, d, "documents")
+        .groupBy(concat(lit("site"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com")).as("host"))
+        .agg(sum(col("n_chars") % 97 + 1).as("weight"))
+      graft.ops.HostAnalysis.crawlBudget(hosts, budget = 1000L)
+    }),
     // A9: sharded-bloom URL-seen prefilter + exact confirm — must equal the
     // exact anti-join (the j8 oracle re-used as this query's oracle). Uses
     // the scale path: per-shard filters built by executors, probed via the
@@ -1568,6 +1594,30 @@ object SparkEntry {
       s"""SELECT $urlsSql AS url, concat('<urn:sha256:', sha256(text), '>') AS record_id,
         | CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
         | text AS body FROM documents""".stripMargin.replace("\n", ""),
+    "s9_wet_emit" ->
+      s"""SELECT doc_id, concat(
+        | 'WARC/1.0', chr(13), chr(10),
+        | 'WARC-Type: conversion', chr(13), chr(10),
+        | 'WARC-Record-ID: <urn:sha256:', sha256(concat('wet:', text)), '>', chr(13), chr(10),
+        | 'WARC-Refers-To: <urn:sha256:', sha256(text), '>', chr(13), chr(10),
+        | 'WARC-Date: 2017-01-01T00:00:00Z', chr(13), chr(10),
+        | 'WARC-Target-URI: ', $urlsSql, chr(13), chr(10),
+        | 'Content-Type: text/plain', chr(13), chr(10),
+        | 'Content-Length: ', CAST(octet_length(encode(text)) AS VARCHAR), chr(13), chr(10),
+        | chr(13), chr(10), text, chr(13), chr(10), chr(13), chr(10)) AS wet_record FROM documents""".stripMargin.replace("\n", ""),
+    "h5_crawl_budget" ->
+      """WITH w AS (
+        |   SELECT concat('site', CAST(doc_id % 50 AS VARCHAR), '.example.com') AS host,
+        |          CAST(sum(n_chars % 97 + 1) AS HUGEINT) AS weight
+        |   FROM documents GROUP BY 1),
+        | tot AS (SELECT sum(weight) AS t FROM w),
+        | b AS (SELECT host, (1000::HUGEINT * weight) // t AS base,
+        |              (1000::HUGEINT * weight) % t AS rem
+        |       FROM w, tot),
+        | d AS (SELECT 1000 - sum(base) AS deficit FROM b),
+        | r AS (SELECT host, base, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM b)
+        | SELECT host, CAST(base + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        | FROM r""".stripMargin.replace("\n", ""),
     "a9_bloom_seen" ->
       s"""SELECT url FROM (SELECT $urlsSql AS url FROM documents WHERE doc_id < 300) WHERE url NOT IN (SELECT $urlsSql AS url FROM documents WHERE doc_id % 3 = 0)""",
     "a1_count_global" -> "SELECT count(*) AS n_rows FROM lineitem",

@@ -74,6 +74,26 @@ object Warc {
       body.as("body"))
   }
 
+  /** WET-style `conversion` record (the WARC→WET shape of a Common-Crawl
+    * text-extraction pass; record types per the reference's
+    * vendor/github.com/datatogether/warc/record.go:87-135 — `conversion`
+    * is the same framing with WARC-Refers-To linking back to the source
+    * response record, WARC/1.0 §6.8). Body is the EXTRACTED text, typed
+    * text/plain; same fixed field order + framing as [[responseRecordCol]],
+    * all built-ins, so a full-archive WET emit stays in WholeStageCodegen. */
+  def conversionRecordCol(targetUri: Column, dateIso: Column, recordId: Column,
+      refersTo: Column, body: Column): Column =
+    concat(
+      lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: conversion" + CRLF),
+      field("WARC-Record-ID", recordId),
+      field("WARC-Refers-To", refersTo),
+      field("WARC-Date", dateIso),
+      field("WARC-Target-URI", targetUri),
+      field("Content-Type", lit("text/plain")),
+      field("Content-Length", octet_length(body).cast("string")),
+      lit(CRLF), body, lit(CRLF + CRLF))
+
   /** warcinfo file-header record (record.go:47-84). */
   def warcInfoRecordCol(recordId: Column, dateIso: Column,
       filename: Column, body: Column): Column =

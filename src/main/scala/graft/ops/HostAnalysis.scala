@@ -168,6 +168,64 @@ object HostAnalysis {
           "[0-9]+", "N").as("template"))
       .groupBy("host", "template").agg(count(lit(1)).as("n_urls"))
 
+  /** Proportional per-host crawl-budget apportionment with EXACT totals:
+    * split a global wave budget across hosts proportional to a non-negative
+    * integer weight (quality score, backlog depth, change rate — the
+    * frontier-policy signals of [[trapSignals]]/[[Recrawl]]), rounded by the
+    * largest-remainder (Hamilton) method so the allocations sum EXACTLY to
+    * `budget` (when any weight is positive). Input `(host, weight)`; output
+    * `(host, alloc)` covering every input host (weight ≤ 0 or null → 0).
+    *
+    * Determinism: all arithmetic is integer/decimal-exact (base share =
+    * `budget*w div W`, remainder = `budget*w mod W`), so results are
+    * bit-identical at any parallelism and across engines — a double
+    * `sum(weight)` would be shuffle-order-dependent at the floor
+    * boundaries. Ties in remainder break by host ascending.
+    *
+    * Scale shape: two narrow passes over the hosts frame (~10^7 rows at web
+    * scale — never urls) with broadcast scalar totals; the remainder rank
+    * that picks the `budget - Σbase` +1 winners uses range-bucketed
+    * enumeration (the [[Sampling.globalRowNumbers]] treatment) — per-bucket
+    * windows + broadcast offsets, no single-partition global sort. Equal
+    * remainders always share a bucket, so cross-bucket order is total. */
+  def crawlBudget(hosts: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val all = hosts.select(col("host"), col("weight"))
+    val pos = all
+      .select(col("host"), col("weight").cast(dec).as("w"))
+      .filter(col("w") > 0)
+    val totals = pos.agg(sum("w").cast(dec).as("_tot"))
+    val withBase = pos.crossJoin(broadcast(totals))
+      .withColumn("_prod", (lit(budget).cast(dec) * col("w")).cast(dec))
+      .withColumn("_base", expr("_prod div _tot"))
+      .withColumn("_rem", expr(s"CAST(_prod % _tot AS $dec)"))
+    val deficit = withBase.agg(
+      (lit(budget) - coalesce(sum("_base"), lit(0L))).as("_deficit"))
+    // descending-remainder global rank without a global sort: range-bucket
+    // the remainder (bucket is monotone in _rem, so equal remainders share
+    // a bucket), broadcast per-bucket offsets, rank within buckets
+    val bucketed = withBase
+      .withColumn("_rb", expr("CAST((_rem * 4096) div _tot AS INT)"))
+    val offsets = bucketed.groupBy("_rb").agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(
+        sum("_n").over(Window.orderBy(col("_rb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_rb", "_off")
+    val ranked = bucketed
+      .join(broadcast(offsets), Seq("_rb"))
+      .withColumn("_rank", col("_off") + row_number().over(
+        Window.partitionBy("_rb").orderBy(col("_rem").desc, col("host")))
+        .cast("long"))
+      .crossJoin(broadcast(deficit))
+      .select(col("host"),
+        (col("_base") + when(col("_rank") <= col("_deficit"), 1L)
+          .otherwise(0L)).as("alloc"))
+    all.select(col("host")).join(ranked, Seq("host"), "left")
+      .select(col("host"), coalesce(col("alloc"), lit(0L)).as("alloc"))
+  }
+
   /** Retroactive robots-compliance audit: flag every fetched url a host's
     * CURRENT robots.txt disallows for `agent`. The crawler enforces robots
     * at fetch time (P8), but a corpus outlives its crawl — sites change

@@ -194,6 +194,27 @@ class GraphSpec extends AnyFunSuite {
     assert(out.size == 7)
   }
 
+  test("iterative ops keep bounded checkpoint storage (superseded blocks freed)") {
+    // regression for the IterCheckpoint fix: a k-round power iteration must
+    // NOT hold k node-set copies as persistent RDDs — superseded rounds are
+    // freed once the successor is materialized. At 10^10 nodes, an unfreed
+    // copy per round is executor-storage exhaustion, not a hygiene nit.
+    val sc = spark.sparkContext
+    def live: Int = sc.getPersistentRDDs.size
+    val before = live
+    Graph.pageRank(edges, iters = 12).count()
+    // pageRank pins three frames for the whole run (node set, weighted
+    // edges — both read every round — and the returned final ranks); all 12
+    // superseded rank rounds must be gone. Slack of 1 for runtime caching.
+    assert(live - before <= 4,
+      s"pageRank(iters=12) left ${live - before} persistent RDDs (want <=4)")
+    val after1 = live
+    graft.ops.Dedup.connectedComponents(
+      edgeList.toDF("a_id", "b_id"), maxRounds = 16).count()
+    assert(live - after1 <= 3,
+      s"connectedComponents left ${live - after1} persistent RDDs (want <=3)")
+  }
+
   test("resolveRedirects: hop cap bounds chain length like a real fetcher") {
     // 40-hop chain: n0 -> n01 -> ... -> n40 (zero-padded so min-dst is a no-op)
     val chain = (0 until 40).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("src", "dst")

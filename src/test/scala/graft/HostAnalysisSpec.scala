@@ -180,3 +180,52 @@ class RobotsAuditSpec extends AnyFunSuite {
     assert(special("http://h/a") && !special("http://h/b"))
   }
 }
+
+class CrawlBudgetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Driver-side Hamilton (largest-remainder) apportionment reference. */
+  private def refHamilton(ws: Seq[(String, Long)], budget: Long): Map[String, Long] = {
+    val pos = ws.filter(_._2 > 0)
+    if (pos.isEmpty) return ws.map { case (h, _) => h -> 0L }.toMap
+    val tot = pos.map(w => BigInt(w._2)).sum
+    val base = pos.map { case (h, w) =>
+      (h, (BigInt(budget) * w / tot).toLong, BigInt(budget) * w % tot)
+    }
+    val deficit = budget - base.map(_._2).sum
+    val winners = base.sortBy { case (h, _, rem) => (-rem, h) }
+      .take(deficit.toInt).map(_._1).toSet
+    ws.map { case (h, w) =>
+      h -> (if (w <= 0) 0L
+            else base.find(_._1 == h).get._2 + (if (winners(h)) 1L else 0L))
+    }.toMap
+  }
+
+  test("crawlBudget: exact-total Hamilton apportionment, zero weights get 0") {
+    val ws = Seq(("a", 7L), ("b", 7L), ("c", 3L), ("d", 2L), ("e", 0L), ("f", -1L))
+    val out = HostAnalysis.crawlBudget(ws.toDF("host", "weight"), budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == refHamilton(ws, 10L))
+    assert(out.values.sum == 10L) // exact: no rounding drift
+    assert(out("e") == 0L && out("f") == 0L)
+  }
+
+  test("crawlBudget: matches the reference across budgets and weight shapes") {
+    val ws = (0 until 97).map(i => (f"h$i%03d", ((i * 7919L) % 23) - 2)) // some <= 0
+    for (budget <- Seq(0L, 1L, 50L, 1000L, 1000003L)) {
+      val out = HostAnalysis.crawlBudget(ws.toDF("host", "weight"), budget)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = refHamilton(ws, budget)
+      assert(out == want, s"budget=$budget")
+      if (ws.exists(_._2 > 0)) assert(out.values.sum == budget, s"budget=$budget")
+    }
+  }
+
+  test("crawlBudget: all weights non-positive allocates nothing") {
+    val out = HostAnalysis.crawlBudget(
+      Seq(("a", 0L), ("b", -3L)).toDF("host", "weight"), budget = 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 0L, "b" -> 0L))
+  }
+}

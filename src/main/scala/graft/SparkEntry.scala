@@ -78,6 +78,19 @@ object SparkEntry {
       .select(col("vec_id").as("query_id"),
         circleVec(col("vec_id"), queryOffset = 0.37).as("query_vec"))
 
+  /** SemDeDup near-dup fixture: residues cluster into PODS of three
+    * adjacent angles on a pi/193 grid separated by a 3-step gap — 1-step
+    * neighbours (cos ~ 0.999868) chain a pod transitively at tau = 0.9998
+    * while 2-step pod endpoints (cos ~ 0.999470) and 3-step pod gaps
+    * (cos ~ 0.998812) never pair. Components = pods, closed-form. */
+  private def podVec(vecId: Column): Column = {
+    val r = vecId % 97
+    val idx = floor(r / lit(3)).cast("long") * 5 + (r % 3)
+    val theta = idx.cast("double") * lit(math.Pi / 193)
+    concat(array(cos(theta), sin(theta)), array_repeat(lit(0.0), 62))
+      .cast("array<float>")
+  }
+
   private val annOracleSql =
     """WITH v AS (SELECT vec_id, (vec_id % 97) * pi() / 97 AS th FROM embeddings),
       | q AS (SELECT vec_id AS query_id, (vec_id % 97 + 0.37) * pi() / 97 AS qth FROM embeddings WHERE vec_id < 5)
@@ -502,6 +515,19 @@ object SparkEntry {
         .agg(sum(col("n_chars") % 97 + 1).as("weight"))
       graft.ops.HostAnalysis.crawlBudget(hosts, budget = 1000L)
     }),
+    // S10: payload-deduplicated archive emit — first capture per distinct
+    // body becomes a full response record, every re-capture a revisit
+    // record (identical-payload-digest profile) pointing at it. Bodies are
+    // the planted cluster corpus (groups of 4 share bytes), so the oracle
+    // reconstructs BOTH record shapes and the election closed-form.
+    "s10_warc_revisit" -> ((s, d) => {
+      val pages = t(s, d, "documents").select(
+        urlCol(col("doc_id")).as("url"),
+        date_format((col("doc_id") + metaEpoch).cast("timestamp"),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("date_iso"),
+        clusterText(col("doc_id")).as("body"))
+      graft.functions.Warc.archiveDedupRecords(pages)
+    }),
     // A9: sharded-bloom URL-seen prefilter + exact confirm — must equal the
     // exact anti-join (the j8 oracle re-used as this query's oracle). Uses
     // the scale path: per-shard filters built by executors, probed via the
@@ -776,6 +802,24 @@ object SparkEntry {
       repPairs.select(least(col("rep_a"), col("rep_b")).as("a_id"),
         greatest(col("rep_a"), col("rep_b")).as("b_id"))
     }),
+    // D15: SemDeDup (Abbas et al. 2023) at exact-duplicate threshold — on
+    // the circle fixture distinct residues top out at cos(pi/97) ~ 0.99948
+    // < tau, so semantic groups are exactly the residue classes and the
+    // keep rule degenerates to min id (one rep per group): the pipeline
+    // (cluster assign -> within-cell pair -> verify -> components -> keep)
+    // gates closed-form end to end.
+    "d15_semdedup" -> ((s, d) =>
+      Dedup.semDedup(synthEmb(s, d), dim = 64, minCosine = 0.9998, nlist = 8)),
+    // D15b: SemDeDup grouping with real NEAR-dup transitivity: pods of
+    // three adjacent angles chain via 1-step pairs (cos(pi/193) ~ 0.99987
+    // >= tau) while pod endpoints never pair directly (2 steps ~ 0.99947 <
+    // tau) — the component closure does the work; nlist=1 so no trained
+    // cell boundary can split a pod (SemDeDup's documented approximation).
+    "d15b_semdedup_groups" -> ((s, d) =>
+      Dedup.semDedup(t(s, d, "embeddings").select(col("vec_id"),
+          podVec(col("vec_id")).as("embedding")),
+        dim = 64, minCosine = 0.9998, nlist = 1)
+        .select("vec_id", "group_id")),
 
     // ---------------- similarity search (circle fixture: distinct,
     // well-separated cosine levels; ties only between identical vectors,
@@ -864,6 +908,33 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         TextAnalysis.langIdUdf(pickByMod(col("doc_id"), t5Texts))
           .as("lang_detected"))),
+    // T21: per-paragraph language-consistency vote — planted multi-
+    // paragraph docs from the t5 language fixtures: pure (2x en), mixed
+    // majority (en en de -> 666666 ppm), a tie (fr+de -> min-lang 'de'),
+    // and a single-paragraph doc; the oracle recomputes every signal from
+    // doc_id arithmetic
+    "t21_mixed_lang" -> ((s, d) => {
+      val m = col("doc_id") % 4
+      val text = when(m === 0, lit(t5Texts(0) + "\n\n" + t5Texts(0)))
+        .when(m === 1,
+          lit(t5Texts(0) + "\n\n" + t5Texts(0) + "\n\n" + t5Texts(1)))
+        .when(m === 2, lit(t5Texts(2) + "\n\n" + t5Texts(1)))
+        .otherwise(lit(t5Texts(8)))
+      TextAnalysis.mixedLanguageSignals(
+        t(s, d, "documents").select(col("doc_id"), text.as("text")))
+    }),
+
+    // T22: PII localization counts — planted repeats make every class
+    // count a closed-form function of doc_id
+    "t22_pii_counts" -> ((s, d) => {
+      val text = concat(
+        repeat(lit("reach j.doe@example.com now "),
+          (col("doc_id") % 3 + 1).cast("int")),
+        repeat(lit("call +1-555-0199 "), (col("doc_id") % 2).cast("int")),
+        lit("server 192.168.0.1 done"))
+      TextAnalysis.piiCounts(
+        t(s, d, "documents").select(col("doc_id"), text.as("text")))
+    }),
 
     // ---------------- multimodal: REAL image decode — synthesize PNGs with
     // doc_id-derived dimensions, decode them back via javax.imageio
@@ -1618,6 +1689,38 @@ object SparkEntry {
         | r AS (SELECT host, base, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM b)
         | SELECT host, CAST(base + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END AS BIGINT) AS alloc
         | FROM r""".stripMargin.replace("\n", ""),
+    "s10_warc_revisit" ->
+      s"""WITH p AS (
+        |   SELECT doc_id, $urlsSql AS url,
+        |     strftime(to_timestamp(1483228800 + doc_id)::TIMESTAMP, '%Y-%m-%dT%H:%M:%SZ') AS d,
+        |     array_to_string(list_transform(range(0,24), j -> concat('t', CAST(doc_id//4 AS VARCHAR), 'x', CAST(j AS VARCHAR))), ' ') AS body,
+        |     doc_id - doc_id % 4 AS og
+        |   FROM documents)
+        | SELECT a.url, a.d AS date_iso,
+        |   CASE WHEN a.doc_id = a.og THEN 'response' ELSE 'revisit' END AS record_type,
+        |   CASE WHEN a.doc_id = a.og THEN
+        |     concat('WARC/1.0', chr(13), chr(10), 'WARC-Type: response', chr(13), chr(10),
+        |       'WARC-Record-ID: <urn:sha256:', sha256(concat(a.url, '|', a.d)), '>', chr(13), chr(10),
+        |       'WARC-Date: ', a.d, chr(13), chr(10),
+        |       'WARC-Target-URI: ', a.url, chr(13), chr(10),
+        |       'Content-Type: application/http; msgtype=response', chr(13), chr(10),
+        |       'Content-Length: ', CAST(octet_length(encode(a.body)) AS VARCHAR), chr(13), chr(10),
+        |       chr(13), chr(10), a.body, chr(13), chr(10), chr(13), chr(10))
+        |   ELSE
+        |     concat('WARC/1.0', chr(13), chr(10), 'WARC-Type: revisit', chr(13), chr(10),
+        |       'WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest', chr(13), chr(10),
+        |       'WARC-Record-ID: <urn:sha256:', sha256(concat(a.url, '|', a.d)), '>', chr(13), chr(10),
+        |       'WARC-Refers-To: <urn:sha256:', sha256(concat(b.url, '|', b.d)), '>', chr(13), chr(10),
+        |       'WARC-Refers-To-Target-URI: ', b.url, chr(13), chr(10),
+        |       'WARC-Refers-To-Date: ', b.d, chr(13), chr(10),
+        |       'WARC-Date: ', a.d, chr(13), chr(10),
+        |       'WARC-Target-URI: ', a.url, chr(13), chr(10),
+        |       'WARC-Payload-Digest: sha256:', sha256(a.body), chr(13), chr(10),
+        |       'Content-Type: application/http; msgtype=response', chr(13), chr(10),
+        |       'Content-Length: 0', chr(13), chr(10),
+        |       chr(13), chr(10), chr(13), chr(10), chr(13), chr(10))
+        |   END AS record
+        | FROM p a JOIN p b ON b.doc_id = a.og""".stripMargin.replace("\n", ""),
     "a9_bloom_seen" ->
       s"""SELECT url FROM (SELECT $urlsSql AS url FROM documents WHERE doc_id < 300) WHERE url NOT IN (SELECT $urlsSql AS url FROM documents WHERE doc_id % 3 = 0)""",
     "a1_count_global" -> "SELECT count(*) AS n_rows FROM lineitem",
@@ -1750,6 +1853,13 @@ object SparkEntry {
       "SELECT vec_id, min(vec_id) OVER (PARTITION BY vec_id % 97) AS rep_id FROM embeddings",
     "d9b_embed_rep_pairs" ->
       "WITH r AS (SELECT DISTINCT min(vec_id) OVER (PARTITION BY vec_id % 97) AS rep, vec_id % 97 AS res FROM embeddings) SELECT least(a.rep, b.rep) AS a_id, greatest(a.rep, b.rep) AS b_id FROM r a JOIN r b ON a.res < b.res AND abs(a.res - b.res) <= 9",
+    "d15_semdedup" ->
+      """SELECT vec_id, min(vec_id) OVER (PARTITION BY vec_id % 97) AS rep_id,
+        | min(vec_id) OVER (PARTITION BY vec_id % 97) AS group_id,
+        | vec_id = min(vec_id) OVER (PARTITION BY vec_id % 97) AS kept
+        | FROM embeddings""".stripMargin.replace("\n", ""),
+    "d15b_semdedup_groups" ->
+      "SELECT vec_id, min(vec_id) OVER (PARTITION BY (vec_id % 97) // 3) AS group_id FROM embeddings",
     "ann1_bruteforce_topk" -> annOracleSql,
     "ann2_lsh_topk" -> annOracleSql,
     "ann3_ivf_topk" -> annOracleSql,
@@ -1772,6 +1882,16 @@ object SparkEntry {
     "t4_fingerprint" -> t4OracleSql,
     "t5_langid_detect" ->
       "SELECT doc_id, CASE doc_id % 12 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' WHEN 3 THEN 'es' WHEN 4 THEN 'it' WHEN 5 THEN 'und' WHEN 6 THEN 'ja' WHEN 7 THEN 'zh' WHEN 8 THEN 'ru' WHEN 9 THEN 'ar' WHEN 10 THEN 'el' ELSE 'ko' END AS lang_detected FROM documents",
+    "t21_mixed_lang" ->
+      """SELECT doc_id,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 1 END AS BIGINT) AS n_paragraphs,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 1 END AS BIGINT) AS n_langs,
+        | CASE doc_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'en' WHEN 2 THEN 'de' ELSE 'ru' END AS majority_lang,
+        | CAST(CASE doc_id % 4 WHEN 0 THEN 1000000 WHEN 1 THEN 666666 WHEN 2 THEN 500000 ELSE 1000000 END AS BIGINT) AS majority_ppm,
+        | doc_id % 4 IN (1, 2) AS mixed
+        | FROM documents""".stripMargin.replace("\n", ""),
+    "t22_pii_counts" ->
+      "SELECT doc_id, CAST(doc_id % 3 + 1 AS BIGINT) AS n_email, CAST(doc_id % 2 AS BIGINT) AS n_phone, CAST(1 AS BIGINT) AS n_ip FROM documents",
     "f1_normalize" ->
       "SELECT doc_id, concat('http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/a/d/', CAST(doc_id AS VARCHAR)) AS normalized FROM documents",
     "f5_sniff" ->

@@ -463,4 +463,90 @@ object Dedup {
     connectedComponents(pairs)
       .groupBy("component_id")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cluster_size"))
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * cluster-scoped semantic dedup over an embedding column. K-means
+    * partitions the corpus into `nlist` cells; ONLY within-cell pairs are
+    * candidates; pairs with cosine ≥ `minCosine` chain into duplicate
+    * groups; each group keeps its most ATYPICAL member — the one with the
+    * LOWEST cosine to its cluster centroid (the paper's keep rule: typical
+    * members are the redundant ones).
+    *
+    * Input `(vec_id, embedding: array<float>)`; output one row per input
+    * vector: `(vec_id, rep_id, group_id, kept)` — rep_id = min id of the
+    * vector's EXACT-duplicate group, group_id = min rep id of its semantic
+    * component, kept = this vector survives the dedup.
+    *
+    * Scale shape (each step bounded, never corpus × corpus):
+    *   - exact duplicates collapse to one representative per content hash
+    *     BEFORE any pairing (identical vectors always share a cell — the
+    *     assignment is a pure function of the vector — so collapsing first
+    *     loses nothing and a million-identical-vector corpus never
+    *     self-joins);
+    *   - the within-cell self-join is the paper's O(cellWidth²) pairwise
+    *     pass; `nlist` is the control (the paper uses ~√N clusters) and
+    *     `maxCellWidth` hash-caps runaway cells (the hot-bucket treatment
+    *     of [[capBuckets]]) so one degenerate cell cannot go quadratic;
+    *   - candidate rows are narrow (two ids); vectors rejoin BY ID for the
+    *     exact cosine verify;
+    *   - duplicate groups close transitively via [[connectedComponents]]
+    *     (O(log n) rounds);
+    *   - the keep rule is one per-group min(struct) aggregation.
+    * Determinism: centroid similarity is a float, so the keep rule ties
+    * break by (cdot, rep_id) min-struct; exact duplicates share cdot
+    * bit-identically, and distinct reps in a group differ in cdot by more
+    * than float noise on any real corpus (the ivfTopK centroid caveat
+    * applies to cell-boundary vectors). */
+  def semDedup(emb: DataFrame, dim: Int, minCosine: Double, nlist: Int = 8,
+      lloydIters: Int = 4, maxCellWidth: Int = 4096): DataFrame = {
+    // exact-dup collapse: one representative (min vec_id) per content hash
+    val keyed = emb.select(col("vec_id"),
+      sha2(to_json(col("embedding")).cast("binary"), 256).as("vkey"))
+    val reps = keyed.groupBy("vkey").agg(min("vec_id").as("rep_id"))
+    val repVecs = reps
+      .join(emb.select(col("vec_id").as("rep_id"), col("embedding")),
+        Seq("rep_id"))
+
+    // k-means over the collapsed reps (training on duplicates would only
+    // bias centroids toward the most-copied content)
+    val centroids = Similarity.trainCentroids(
+      repVecs.select(col("rep_id").as("vec_id"), col("embedding")),
+      dim, nlist, lloydIters)
+    val assigned = repVecs.withColumn("_a",
+        Similarity.assignUdf(centroids)(col("embedding")))
+      .select(col("rep_id"), col("embedding"),
+        col("_a._1").as("cell"), col("_a._2").as("cdot"))
+
+    // within-cell candidate pairs on narrow (cell, rep_id) rows, hash-capped
+    val cells = capBuckets(
+      assigned.select(col("cell"), col("rep_id")), maxCellWidth, Seq("cell"))
+    val candPairs = cells.alias("a").join(cells.alias("b"),
+        col("a.cell") === col("b.cell") && col("a.rep_id") < col("b.rep_id"))
+      .select(col("a.rep_id").as("ra"), col("b.rep_id").as("rb"))
+    // exact cosine verify: vectors rejoin by id
+    val v = assigned.select(col("rep_id"), col("embedding"))
+    val dupPairs = candPairs
+      .join(v.select(col("rep_id").as("ra"), col("embedding").as("ea")), Seq("ra"))
+      .join(v.select(col("rep_id").as("rb"), col("embedding").as("eb")), Seq("rb"))
+      .filter(Similarity.cosineCol(col("ea"), col("eb")) >= minCosine)
+      .select(col("ra").as("a_id"), col("rb").as("b_id"))
+
+    // transitive closure → groups; ungrouped reps are their own group
+    val comps = connectedComponents(dupPairs)
+      .select(col("doc_id").as("rep_id"), col("component_id"))
+    val grouped = assigned.select(col("rep_id"), col("cdot"))
+      .join(comps, Seq("rep_id"), "left")
+      .withColumn("group_id", coalesce(col("component_id"), col("rep_id")))
+    // paper keep rule: lowest centroid similarity survives (ties by rep_id)
+    val winners = grouped.groupBy("group_id")
+      .agg(min(struct(col("cdot"), col("rep_id"))).getField("rep_id")
+        .as("keep_rep"))
+    val repOut = grouped.join(winners, Seq("group_id"))
+      .select(col("rep_id"), col("group_id"), col("keep_rep"))
+
+    keyed.join(reps, Seq("vkey")).join(repOut, Seq("rep_id"))
+      .select(col("vec_id"), col("rep_id"), col("group_id"),
+        (col("vec_id") === col("keep_rep")).as("kept"))
+  }
 }

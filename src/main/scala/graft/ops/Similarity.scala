@@ -157,21 +157,16 @@ object Similarity {
     * final scores are exact re-ranks either way; corpora whose cluster
     * margins exceed float noise (any real embedding corpus, and the ann3
     * oracle fixture) return identical top-k at any parallelism. */
-  def ivfTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
-      nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 4): DataFrame = {
-    def unitize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
-    }
-    // deterministic seeding: the nlist hash-smallest vectors (a fixed
-    // pseudo-random sample, stable across runs and parallelism)
-    var centroids: Array[Array[Double]] = emb
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(lit("ivf-seed"), col("vec_id")), col("vec_id"))
-      .limit(nlist).collect()
-      .map(r => unitize(r.getSeq[Float](1).toArray.map(_.toDouble)))
+  private[ops] def unitize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
 
-    def assignUdf(cents: Array[Array[Double]]) = udf { (vec: Array[Float]) =>
+  /** Nearest-centroid assignment as `struct(cell int, cdot double)` — the
+    * best cell and its dot against the (unit) centroid. One UDF serves both
+    * the IVF index build (cell) and SemDeDup's keep rule (cdot). */
+  private[ops] def assignUdf(cents: Array[Array[Double]]) =
+    udf { (vec: Array[Float]) =>
       var best = 0; var bestDot = Double.NegativeInfinity
       var c = 0
       while (c < cents.length) {
@@ -182,16 +177,28 @@ object Similarity {
         if (dot > bestDot) { bestDot = dot; best = c }
         c += 1
       }
-      best
+      (best, bestDot)
     }
 
-    // Lloyd rounds: one map-only pass each (sum + count per cell); empty
-    // cells keep their previous centroid. Cosine k-means: compare by dot
-    // against UNIT centroids, update to the (renormalized) mean direction.
+  /** Deterministic cosine k-means over `(vec_id, embedding)`: seeds are the
+    * nlist hash-smallest vectors (a fixed pseudo-random sample, stable
+    * across runs and parallelism); each Lloyd round is one map-only pass
+    * (sum + count per cell, empty cells keep their previous centroid);
+    * compare by dot against UNIT centroids, update to the renormalized mean
+    * direction. Returns unit centroids. Float-sum shuffle-order caveat: see
+    * [[ivfTopK]]. */
+  private[ops] def trainCentroids(emb: DataFrame, dim: Int, nlist: Int,
+      lloydIters: Int): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = emb
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(lit("ivf-seed"), col("vec_id")), col("vec_id"))
+      .limit(nlist).collect()
+      .map(r => unitize(r.getSeq[Float](1).toArray.map(_.toDouble)))
     for (_ <- 0 until lloydIters) {
       val cents = centroids
       val sums = emb
-        .select(assignUdf(cents)(col("embedding")).as("cell"), col("embedding"))
+        .select(assignUdf(cents)(col("embedding")).getField("_1").as("cell"),
+          col("embedding"))
         .groupBy("cell")
         .agg(array((0 until dim).map(j =>
           sum(element_at(col("embedding"), j + 1)).as(s"s$j")): _*).as("vsum"),
@@ -205,9 +212,15 @@ object Similarity {
       }
       centroids = next
     }
+    centroids
+  }
+
+  def ivfTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 4): DataFrame = {
+    val centroids = trainCentroids(emb, dim, nlist, lloydIters)
 
     val indexed = emb.select(col("vec_id"),
-      assignUdf(centroids)(col("embedding")).as("cell"))
+      assignUdf(centroids)(col("embedding")).getField("_1").as("cell"))
 
     // per-query top-nprobe cells by centroid dot (queries are tiny)
     val cellsUdf = udf { (vec: Array[Float]) =>

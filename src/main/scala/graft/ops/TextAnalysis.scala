@@ -90,6 +90,47 @@ object TextAnalysis {
   def withLanguage(docs: DataFrame): DataFrame =
     docs.withColumn("lang_detected", langIdUdf(col("text")))
 
+  /** Per-document language-consistency signals — the corpus-QA pass that
+    * catches template-mixed / partially-translated pages a doc-level langid
+    * hides (a page whose nav is English and body is German ids as one or
+    * the other; per-paragraph voting exposes the mix). Splits on blank
+    * lines, ids each paragraph, and reports the majority language, its
+    * paragraph share, and the distinct-language count per document.
+    *
+    * Output `(doc_id, n_paragraphs, n_langs, majority_lang, majority_ppm,
+    * mixed)`; documents with no non-blank paragraph get (0, 0, 'und',
+    * 0, false).
+    *
+    * Scale shape: explode → map-only langid → two aggregations over narrow
+    * (id, lang) rows — the text itself never crosses a shuffle. Majority
+    * ties break to the lexicographically smallest language (min-struct on
+    * (-count, lang)); the share is integer ppm so the gate hash-compares
+    * exactly cross-engine. */
+  def mixedLanguageSignals(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val paras = docs.select(col(idCol),
+        explode(filter(split(col(textCol), "\n{2,}"),
+          p => length(trim(p)) > 0)).as("para"))
+      .select(col(idCol), langIdUdf(col("para")).as("plang"))
+    val counts = paras.groupBy(idCol, "plang").agg(count(lit(1)).as("n"))
+    val agg = counts.groupBy(idCol).agg(
+      sum("n").as("n_paragraphs"),
+      count(lit(1)).as("n_langs"),
+      min(struct((-col("n")).as("negn"), col("plang"))).as("maj"))
+    val out = agg.select(col(idCol), col("n_paragraphs"), col("n_langs"),
+      col("maj.plang").as("majority_lang"),
+      expr("CAST((-maj.negn) * 1000000 div n_paragraphs AS BIGINT)")
+        .as("majority_ppm"),
+      (col("n_langs") > 1).as("mixed"))
+    docs.select(col(idCol)).join(out, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_paragraphs"), lit(0L)).as("n_paragraphs"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        coalesce(col("majority_lang"), lit("und")).as("majority_lang"),
+        coalesce(col("majority_ppm"), lit(0L)).as("majority_ppm"),
+        coalesce(col("mixed"), lit(false)).as("mixed"))
+  }
+
   // ------------------------------------------------------------ tokens
 
   /** whitespace token count — pure built-ins, identical SQL exists for the
@@ -183,6 +224,22 @@ object TextAnalysis {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\+\\d{1,3}-\\d{3}-\\d{4}"
     regexp_replace(regexp_replace(text, email, "[EMAIL]"), phone, "[PHONE]")
+  }
+
+  /** PII localization counts — the triage complement to [[piiScrub]]: how
+    * many matches of each class a document carries, so a pipeline can
+    * route "one stray email" differently from "a dumped address book"
+    * (scrub vs drop). Same RE2-compatible patterns as the scrub, plus
+    * IPv4; pure regexp_count built-ins, map-only, shuffle-free. */
+  def piiCounts(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(email)).cast("long").as("n_email"),
+      regexp_count(col(textCol), lit(phone)).cast("long").as("n_phone"),
+      regexp_count(col(textCol), lit(ip)).cast("long").as("n_ip"))
   }
 
   /** Line-repetition ratio (boilerplate/spam signal): 1 - distinct/total

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** SemDeDup (cluster-scoped semantic dedup) — keep rule, exact-dup
+  * collapse, transitive grouping, and parallelism invariance over small
+  * planted fixtures with margins far above float noise. */
+class SemDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def deg(a: Double): Array[Float] = {
+    val t = math.toRadians(a)
+    Array(math.cos(t).toFloat, math.sin(t).toFloat, 0f, 0f)
+  }
+
+  private def run(vs: Seq[(Long, Array[Float])], tau: Double, nlist: Int = 1,
+      parts: Int = 4): Map[Long, (Long, Long, Boolean)] =
+    Dedup.semDedup(vs.toDF("vec_id", "embedding").repartition(parts),
+        dim = 4, minCosine = tau, nlist = nlist)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+  test("exact duplicates collapse; one survivor per group; rep = min id") {
+    val vs = Seq(5L -> deg(0), 9L -> deg(0), 2L -> deg(0), // identical triple
+      7L -> deg(90)) // far away
+    val out = run(vs, tau = 0.99)
+    assert(out(2L) == ((2L, 2L, true)))
+    assert(out(5L) == ((2L, 2L, false)) && out(9L) == ((2L, 2L, false)))
+    assert(out(7L) == ((7L, 7L, true)))
+    assert(out.values.count(_._3) == 2)
+  }
+
+  test("transitive chain: adjacent-only pairs still collapse to one keeper") {
+    // cos(1 deg)=0.99985 >= tau > cos(2 deg)=0.99939: only adjacent pairs
+    // link, the component closure must merge all three
+    val vs = Seq(1L -> deg(0), 2L -> deg(1), 3L -> deg(2), 8L -> deg(50))
+    val out = run(vs, tau = 0.9996)
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1)
+    assert(Seq(1L, 2L, 3L).count(out(_)._3) == 1)
+    assert(out(8L)._3)
+  }
+
+  test("keep rule: the member farthest from its cluster centroid survives") {
+    // near-dup pair at 0 deg / 1 deg; a mass of distinct vectors near 40 deg
+    // drags the single centroid toward 40, so the 0-deg member is the
+    // LOWEST-centroid-cosine (most atypical) member — it must win even
+    // though its id is the larger one (proves the rule is not min-id)
+    val vs = Seq(50L -> deg(0), 10L -> deg(1)) ++
+      (20L to 24L).map(i => i -> deg(38 + (i - 20) * 1.0))
+    val out = run(vs, tau = 0.9996)
+    assert(out(50L)._2 == out(10L)._2) // same group
+    assert(out(50L)._3 && !out(10L)._3) // atypical member kept
+  }
+
+  test("deterministic at any parallelism") {
+    val vs = (0L until 60L).map(i => i -> deg((i % 20) * 7.0 + (i % 3) * 0.5))
+    val a = run(vs, tau = 0.9999, nlist = 4, parts = 1)
+    val b = run(vs, tau = 0.9999, nlist = 4, parts = 16)
+    assert(a == b)
+  }
+}

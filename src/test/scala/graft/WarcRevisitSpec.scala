@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.Warc
+
+/** revisit records + payload-deduplicated archive emission. */
+class WarcRevisitSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val pages = Seq(
+    ("http://a.example/x", "2017-01-01T00:00:00Z", "shared body"),
+    ("http://b.example/y", "2017-01-02T00:00:00Z", "shared body"),
+    ("http://c.example/z", "2017-01-03T00:00:00Z", "shared body"),
+    ("http://d.example/u", "2017-01-01T12:00:00Z", "unique body")
+  ).toDF("url", "date_iso", "body")
+
+  test("revisit record: exact bytes of the identical-payload-digest profile") {
+    val rec = Seq(1).toDF("i").select(Warc.revisitRecordCol(
+      lit("http://b.example/y"), lit("2017-01-02T00:00:00Z"), lit("<id:2>"),
+      lit("<id:1>"), lit("http://a.example/x"), lit("2017-01-01T00:00:00Z"),
+      lit("sha256:abc")).as("r")).head().getString(0)
+    val want = "WARC/1.0\r\n" +
+      "WARC-Type: revisit\r\n" +
+      "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest\r\n" +
+      "WARC-Record-ID: <id:2>\r\n" +
+      "WARC-Refers-To: <id:1>\r\n" +
+      "WARC-Refers-To-Target-URI: http://a.example/x\r\n" +
+      "WARC-Refers-To-Date: 2017-01-01T00:00:00Z\r\n" +
+      "WARC-Date: 2017-01-02T00:00:00Z\r\n" +
+      "WARC-Target-URI: http://b.example/y\r\n" +
+      "WARC-Payload-Digest: sha256:abc\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      "Content-Length: 0\r\n" +
+      "\r\n\r\n\r\n"
+    assert(rec == want)
+  }
+
+  test("archiveDedup: first capture is the response, later ones revisit it") {
+    val out = Warc.archiveDedupRecords(pages).collect()
+      .map(r => r.getString(0) -> ((r.getString(2), r.getString(3)))).toMap
+    assert(out("http://a.example/x")._1 == "response")
+    assert(out("http://b.example/y")._1 == "revisit")
+    assert(out("http://c.example/z")._1 == "revisit")
+    assert(out("http://d.example/u")._1 == "response")
+    // the original's payload is stored once: revisits carry no body
+    assert(out("http://a.example/x")._2.contains("shared body"))
+    assert(!out("http://b.example/y")._2.contains("shared body"))
+  }
+
+  test("archiveDedup round-trips through the record parser with linkage") {
+    val parsed = Warc.archiveDedupRecords(pages)
+      .select(col("url"), graft.functions.Warc.parsedRecordCol(col("record"))
+        .as("p"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1)).toMap
+    val orig = parsed("http://a.example/x")
+    val rev = parsed("http://c.example/z")
+    assert(orig.getAs[String]("warc_type") == "response")
+    assert(rev.getAs[String]("warc_type") == "revisit")
+    assert(rev.getAs[Long]("content_length") == 0L)
+    assert(rev.getAs[String]("body") == "")
+    // pointer equals the elected original's record id, uri, and date
+    assert(rev.getAs[Map[String, String]]("headers")("WARC-Refers-To") ==
+      orig.getAs[String]("record_id"))
+    assert(rev.getAs[Map[String, String]]("headers")("WARC-Refers-To-Target-URI")
+      == "http://a.example/x")
+    assert(rev.getAs[Map[String, String]]("headers")("WARC-Refers-To-Date")
+      == "2017-01-01T00:00:00Z")
+    // digest matches the shared payload
+    val dig = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("shared body".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rev.getAs[Map[String, String]]("headers")("WARC-Payload-Digest")
+      == s"sha256:$dig")
+  }
+
+  test("archiveDedup emits identical bytes at any parallelism") {
+    def runAt(n: Int): Seq[String] =
+      Warc.archiveDedupRecords(pages.repartition(n))
+        .orderBy("url").collect().map(_.getString(3)).toSeq
+    assert(runAt(1) == runAt(8))
+  }
+}

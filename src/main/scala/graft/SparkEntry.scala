@@ -802,6 +802,29 @@ object SparkEntry {
       repPairs.select(least(col("rep_a"), col("rep_b")).as("a_id"),
         greatest(col("rep_a"), col("rep_b")).as("b_id"))
     }),
+    // D16: keep-BEST-per-cluster dedup — minhash pairs over the planted
+    // quadruple corpus, clusters keep the highest planted quality score
+    // ((37*doc_id) % 101 — coprime, so scores are distinct within a group)
+    // instead of min id; the oracle recomputes the argmax independently
+    "d16_keep_best" -> ((s, d) => {
+      val corpus = t(s, d, "documents")
+        .select(col("doc_id"), corpusText(col("doc_id")).as("text"))
+      val pairs = Dedup.minhashPairs(corpus, k = 1, numHashes = 64,
+        bands = 16, minEstJaccard = 0.5)
+      val scores = t(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") * 37 % 101).as("score"))
+      Dedup.componentDedupBy(pairs, scores)
+    }),
+    // D17: cross-document exact-substring REMOVAL (Lee et al. EXACTSUBSTR
+    // cut pass): the 24 shared cluster tokens strip from every non-first
+    // group member (8-token windows at starts 0..16 cover tokens 0..23),
+    // leaving only the per-doc unique token; the first member and the
+    // window overlapping the unique token survive untouched
+    "d17_substr_strip" -> ((s, d) =>
+      TextAnalysis.windowDedupRemove(
+        t(s, d, "documents")
+          .select(col("doc_id"), corpusText(col("doc_id")).as("text")),
+        n = 8)),
     // D15: SemDeDup (Abbas et al. 2023) at exact-duplicate threshold — on
     // the circle fixture distinct residues top out at cos(pi/97) ~ 0.99948
     // < tau, so semantic groups are exactly the residue classes and the
@@ -1853,6 +1876,21 @@ object SparkEntry {
       "SELECT vec_id, min(vec_id) OVER (PARTITION BY vec_id % 97) AS rep_id FROM embeddings",
     "d9b_embed_rep_pairs" ->
       "WITH r AS (SELECT DISTINCT min(vec_id) OVER (PARTITION BY vec_id % 97) AS rep, vec_id % 97 AS res FROM embeddings) SELECT least(a.rep, b.rep) AS a_id, greatest(a.rep, b.rep) AS b_id FROM r a JOIN r b ON a.res < b.res AND abs(a.res - b.res) <= 9",
+    "d16_keep_best" ->
+      """WITH m AS (SELECT doc_id, doc_id // 4 AS g, (37 * doc_id) % 101 AS score FROM documents),
+        | s AS (SELECT g, count(*) AS n FROM m GROUP BY g),
+        | r AS (SELECT m.*, row_number() OVER (PARTITION BY g ORDER BY score DESC, doc_id) AS rk FROM m)
+        | SELECT CAST(4 * r.g AS BIGINT) AS component_id, r.doc_id AS keep_id,
+        |   CAST(r.score AS BIGINT) AS keep_score, s.n AS cluster_size
+        | FROM r JOIN s USING (g) WHERE rk = 1 AND s.n >= 2""".stripMargin.replace("\n", ""),
+    "d17_substr_strip" ->
+      """WITH g AS (SELECT doc_id, count(*) OVER (PARTITION BY doc_id // 4) AS n,
+        |   min(doc_id) OVER (PARTITION BY doc_id // 4) AS own FROM documents)
+        | SELECT doc_id,
+        |   CASE WHEN n >= 2 AND doc_id <> own THEN concat('u', CAST(doc_id AS VARCHAR))
+        |     ELSE concat(array_to_string(list_transform(range(0,24), j -> concat('t', CAST(doc_id//4 AS VARCHAR), 'x', CAST(j AS VARCHAR))), ' '), ' u', CAST(doc_id AS VARCHAR)) END AS clean_text,
+        |   CAST(CASE WHEN n >= 2 AND doc_id <> own THEN 17 ELSE 0 END AS BIGINT) AS n_removed_windows
+        | FROM g""".stripMargin.replace("\n", ""),
     "d15_semdedup" ->
       """SELECT vec_id, min(vec_id) OVER (PARTITION BY vec_id % 97) AS rep_id,
         | min(vec_id) OVER (PARTITION BY vec_id % 97) AS group_id,

@@ -464,6 +464,27 @@ object Dedup {
       .groupBy("component_id")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("cluster_size"))
 
+  /** Keep-BEST-per-cluster dedup — the production keep rule: given the
+    * near-dup pair list and a per-doc quality score (classifier margin,
+    * length, recency — any LONG where higher is better), each duplicate
+    * cluster keeps its highest-scoring member instead of [[componentDedup]]'s
+    * min-id (min-id systematically keeps whichever copy was crawled first,
+    * which for syndicated content is often the scraper, not the origin).
+    * Ties break to the smallest doc_id; docs missing a score rank below
+    * every scored doc. Output (component_id, keep_id, keep_score,
+    * cluster_size) — one row per cluster. One extra id-keyed join + the
+    * same min-struct aggregation shape as the id rule. */
+  def componentDedupBy(pairs: DataFrame, scores: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .join(scores.select(col("doc_id"), col("score").cast("long").as("score")),
+        Seq("doc_id"), "left")
+      .groupBy("component_id")
+      .agg(max(struct(coalesce(col("score"), lit(Long.MinValue)).as("s"),
+          (-col("doc_id")).as("negid"))).as("w"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("component_id"), (-col("w.negid")).as("keep_id"),
+        col("w.s").as("keep_score"), col("cluster_size"))
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
     * cluster-scoped semantic dedup over an embedding column. K-means

@@ -304,6 +304,65 @@ object TextAnalysis {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Cross-document exact-substring REMOVAL (the cut pass of Lee et al.
+    * 2021's EXACTSUBSTR, n-token-window formulation — [[windowDedupStats]]
+    * measures, this one edits): every n-token window that appears in at
+    * least `minDocs` documents is duplicated text; the corpus keeps its
+    * FIRST occurrence (min (doc_id, pos)) and removes every token covered
+    * by a non-first occurrence. Returns one row per input doc:
+    * `(doc_id, clean_text, n_removed_windows)` — surviving tokens rejoin
+    * in document order.
+    *
+    * Scale shape (the suffix-array replacement that buckets by hash):
+    *   - positional window hashes explode to narrow (id, pos, hash) rows —
+    *     O(corpus tokens), the only corpus-sized shuffle, hash-keyed with
+    *     partial aggregation;
+    *   - the duplicated-window set and its owner come from one groupBy
+    *     (count-distinct docs + min-struct);
+    *   - non-owner occurrences join back BY HASH and collapse to per-doc
+    *     start lists (bounded by doc length);
+    *   - the cut is map-only: covered = union of [p, p+n) spans, kept
+    *     indices via array_except (hash-set membership — linear in doc
+    *     length, never the T x P scan).
+    * Within-doc repeats of a window the corpus doesn't share are t10/d7's
+    * domain; this pass is the cross-document one. */
+  def windowDedupRemove(docs: DataFrame, n: Int, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"window must be >= 1 token, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    def toks(c: Column): Column = split(trim(c), "\\s+")
+    val base = docs.select(col(idCol), col(textCol))
+    val wins = base
+      .select(col(idCol),
+        when(length(trim(col(textCol))) > 0, toks(col(textCol)))
+          .otherwise(array().cast("array<string>")).as("tk"))
+      .select(col(idCol),
+        when(size(col("tk")) >= n,
+          transform(sequence(lit(0), size(col("tk")) - n),
+            i => xxhash64(array_join(slice(col("tk"), i + 1, lit(n)), " "))))
+          .otherwise(array().cast("array<bigint>")).as("ws"))
+      .select(col(idCol), posexplode(col("ws")).as(Seq("pos", "h")))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("ndocs"),
+        min(struct(col(idCol).as("oid"), col("pos").as("opos"))).as("owner"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col("h"), col("owner.oid").as("oid"), col("owner.opos").as("opos"))
+    val remove = wins.join(dup, Seq("h"))
+      .filter(!(col(idCol) === col("oid") && col("pos") === col("opos")))
+      .groupBy(idCol).agg(collect_set(col("pos")).as("starts"))
+    base.join(remove, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("starts").isNull, col(textCol)).otherwise {
+          val t = toks(col(textCol))
+          val covered = array_distinct(flatten(transform(col("starts"),
+            p => sequence(p, p + n - 1))))
+          val keptIdx = array_except(sequence(lit(0), size(t) - 1), covered)
+          array_join(transform(keptIdx, i => element_at(t, i + 1)), " ")
+        }.as("clean_text"),
+        coalesce(size(col("starts")), lit(0)).cast("long")
+          .as("n_removed_windows"))
+  }
+
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
       n: Int = 13, textCol: String = "text"): DataFrame = {
     def gramHashes(c: Column): Column = windowHashes(c, n, lowercase = true)

@@ -831,8 +831,12 @@ object SparkEntry {
     // keep rule degenerates to min id (one rep per group): the pipeline
     // (cluster assign -> within-cell pair -> verify -> components -> keep)
     // gates closed-form end to end.
+    // (lloydIters trimmed: both gates' outcomes are provably invariant to
+    // the cell layout — d15 groups are exact-dup classes whatever the
+    // cells, d15b runs one cell — so training rounds are pure latency here)
     "d15_semdedup" -> ((s, d) =>
-      Dedup.semDedup(synthEmb(s, d), dim = 64, minCosine = 0.9998, nlist = 8)),
+      Dedup.semDedup(synthEmb(s, d), dim = 64, minCosine = 0.9998, nlist = 8,
+        lloydIters = 2)),
     // D15b: SemDeDup grouping with real NEAR-dup transitivity: pods of
     // three adjacent angles chain via 1-step pairs (cos(pi/193) ~ 0.99987
     // >= tau) while pod endpoints never pair directly (2 steps ~ 0.99947 <
@@ -841,7 +845,7 @@ object SparkEntry {
     "d15b_semdedup_groups" -> ((s, d) =>
       Dedup.semDedup(t(s, d, "embeddings").select(col("vec_id"),
           podVec(col("vec_id")).as("embedding")),
-        dim = 64, minCosine = 0.9998, nlist = 1)
+        dim = 64, minCosine = 0.9998, nlist = 1, lloydIters = 1)
         .select("vec_id", "group_id")),
 
     // ---------------- similarity search (circle fixture: distinct,
@@ -1108,6 +1112,28 @@ object SparkEntry {
         .map(k => (s"site$k", "User-agent: *\nDisallow: /private"))
         .toDF("host", "robots_txt")
       graft.ops.HostAnalysis.robotsAudit(pages, robots, agent = "GraftBot")
+    }),
+    // H6: robots-policy drift — sites 0-24 RETIRE their /private rule while
+    // sites 25-49 (previously rule-less) ADD a /pub one: /pub pages on
+    // high sites become newly disallowed, /private pages on low sites are
+    // newly re-allowed, everything else is stable
+    "h6_robots_drift" -> ((s, d) => {
+      import s.implicits._
+      val doc = col("doc_id")
+      val pages = t(s, d, "documents").select(
+        concat(lit("site"), (doc % 50).cast("string")).as("host"),
+        concat(lit("http://site"), (doc % 50).cast("string"),
+          lit(".example.com"),
+          when(doc % 4 === 0, concat(lit("/private/"), doc.cast("string")))
+            .otherwise(concat(lit("/pub/"), doc.cast("string")))).as("url"))
+      val robotsOld = (0 until 25)
+        .map(k => (s"site$k", "User-agent: *\nDisallow: /private"))
+        .toDF("host", "robots_txt")
+      val robotsNew = (25 until 50)
+        .map(k => (s"site$k", "User-agent: *\nDisallow: /pub"))
+        .toDF("host", "robots_txt")
+      graft.ops.HostAnalysis.robotsDrift(pages, robotsOld, robotsNew,
+        agent = "GraftBot")
     }),
     // D14: incremental delta-vs-corpus dedup — the per-wave production
     // shape: each cluster's %4==0 member re-arrives (id-shifted) as the
@@ -2033,6 +2059,14 @@ object SparkEntry {
         | NOT (doc_id % 4 = 0 AND doc_id % 50 < 25) AS allowed FROM documents""".stripMargin.replace("\n", "")),
     "d14_delta_dedup" ->
       "SELECT b.doc_id AS corpus_id, a.doc_id + 1000000 AS delta_id FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 WHERE a.doc_id % 4 = 0",
+    "h6_robots_drift" ->
+      ("""SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) AS host,
+        | 'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' ||
+        |   CASE WHEN doc_id % 4 = 0 THEN '/private/' ELSE '/pub/' END || CAST(doc_id AS VARCHAR) AS url,
+        | NOT (doc_id % 4 = 0 AND doc_id % 50 < 25) AS allowed_old,
+        | NOT (doc_id % 4 <> 0 AND doc_id % 50 >= 25) AS allowed_new,
+        | (doc_id % 4 <> 0 AND doc_id % 50 >= 25) AS newly_disallowed
+        | FROM documents""".stripMargin.replace("\n", "")),
     "a4_meta_semi" ->
       s"WITH $metaSqlCtes SELECT count(*) AS n_content_with_meta FROM documents d WHERE d.doc_id % 7 = 0 AND EXISTS (SELECT 1 FROM meta m WHERE m.subject = '1220' || sha256(d.text) AND NOT m.deleted AND m.meta IS NOT NULL)",
     "a6b_latest_meta" ->

@@ -253,4 +253,34 @@ object HostAnalysis {
           graft.functions.Funcs.pathUdf(col("url"))))
       .drop("robots_txt")
   }
+
+  /** Robots-policy DRIFT between two robots snapshots (the takedown-review
+    * complement to [[robotsAudit]]'s point-in-time check): evaluate every
+    * fetched url against the old and the new robots.txt of its host and
+    * flag `newly_disallowed` — content that was collected legitimately but
+    * whose host has since withdrawn permission (the set a periodic
+    * compliance sweep re-reviews; policy-relaxed urls surface symmetrically
+    * as allowed_new > allowed_old). Same matcher as the scheduler's fetch
+    * gate, so drift verdicts are consistent with crawl behavior by
+    * construction. Two host-keyed joins (robots sides O(hosts)) + map-only
+    * evaluation — the pages side shuffles on host once per snapshot side. */
+  def robotsDrift(pages: DataFrame, robotsOld: DataFrame,
+      robotsNew: DataFrame, agent: String): DataFrame = {
+    val allowUdf = udf { (txt: String, path: String) =>
+      if (txt == null || txt.isEmpty) true
+      else graft.crawl.RobotsCache.get(txt)
+        .testAgent(if (path == null || path.isEmpty) "/" else path, agent)
+    }
+    val path = graft.functions.Funcs.pathUdf(col("url"))
+    pages
+      .join(robotsOld.select(col("host"), col("robots_txt").as("r_old")),
+        Seq("host"), "left")
+      .join(robotsNew.select(col("host"), col("robots_txt").as("r_new")),
+        Seq("host"), "left")
+      .withColumn("allowed_old", allowUdf(coalesce(col("r_old"), lit("")), path))
+      .withColumn("allowed_new", allowUdf(coalesce(col("r_new"), lit("")), path))
+      .withColumn("newly_disallowed",
+        col("allowed_old") && !col("allowed_new"))
+      .drop("r_old", "r_new")
+  }
 }

@@ -229,3 +229,40 @@ class CrawlBudgetSpec extends AnyFunSuite {
     assert(out == Map("a" -> 0L, "b" -> 0L))
   }
 }
+
+class RobotsDriftSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("robotsDrift: withdrawn, added, and stable permissions") {
+    val pages = Seq(
+      ("h1", "http://h1/secret/a"), // h1 adds a /secret rule -> withdrawn
+      ("h1", "http://h1/open/b"),   // unaffected
+      ("h2", "http://h2/old/c"),    // h2 drops its /old rule -> re-allowed
+      ("h3", "http://h3/x")         // no robots either side
+    ).toDF("host", "url")
+    val robotsOld = Seq(("h2", "User-agent: *\nDisallow: /old"))
+      .toDF("host", "robots_txt")
+    val robotsNew = Seq(("h1", "User-agent: *\nDisallow: /secret"))
+      .toDF("host", "robots_txt")
+    val out = HostAnalysis.robotsDrift(pages, robotsOld, robotsNew, "Bot")
+      .collect().map(r => r.getString(1) ->
+        ((r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(out("http://h1/secret/a") == ((true, false, true)))
+    assert(out("http://h1/open/b") == ((true, true, false)))
+    assert(out("http://h2/old/c") == ((false, true, false)))
+    assert(out("http://h3/x") == ((true, true, false)))
+  }
+
+  test("robotsDrift: agent-specific group changes drift only for that agent") {
+    val pages = Seq(("h", "http://h/p")).toDF("host", "url")
+    val old_ = Seq(("h", "User-agent: *\nAllow: /")).toDF("host", "robots_txt")
+    val new_ = Seq(("h", "User-agent: SpecialBot\nDisallow: /\n\nUser-agent: *\nAllow: /"))
+      .toDF("host", "robots_txt")
+    val special = HostAnalysis.robotsDrift(pages, old_, new_, "SpecialBot")
+      .head()
+    assert(special.getBoolean(2) && !special.getBoolean(3) && special.getBoolean(4))
+    val other = HostAnalysis.robotsDrift(pages, old_, new_, "OtherBot").head()
+    assert(other.getBoolean(2) && other.getBoolean(3) && !other.getBoolean(4))
+  }
+}

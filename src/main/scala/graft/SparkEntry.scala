@@ -1749,7 +1749,7 @@ object SparkEntry {
         |   CASE WHEN a.doc_id = a.og THEN 'response' ELSE 'revisit' END AS record_type,
         |   CASE WHEN a.doc_id = a.og THEN
         |     concat('WARC/1.0', chr(13), chr(10), 'WARC-Type: response', chr(13), chr(10),
-        |       'WARC-Record-ID: <urn:sha256:', sha256(concat(a.url, '|', a.d)), '>', chr(13), chr(10),
+        |       'WARC-Record-ID: <urn:sha256:', sha256(concat(a.url, '|', a.d, '|', sha256(a.body))), '>', chr(13), chr(10),
         |       'WARC-Date: ', a.d, chr(13), chr(10),
         |       'WARC-Target-URI: ', a.url, chr(13), chr(10),
         |       'Content-Type: application/http; msgtype=response', chr(13), chr(10),
@@ -1758,8 +1758,8 @@ object SparkEntry {
         |   ELSE
         |     concat('WARC/1.0', chr(13), chr(10), 'WARC-Type: revisit', chr(13), chr(10),
         |       'WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest', chr(13), chr(10),
-        |       'WARC-Record-ID: <urn:sha256:', sha256(concat(a.url, '|', a.d)), '>', chr(13), chr(10),
-        |       'WARC-Refers-To: <urn:sha256:', sha256(concat(b.url, '|', b.d)), '>', chr(13), chr(10),
+        |       'WARC-Record-ID: <urn:sha256:', sha256(concat(a.url, '|', a.d, '|', sha256(a.body))), '>', chr(13), chr(10),
+        |       'WARC-Refers-To: <urn:sha256:', sha256(concat(b.url, '|', b.d, '|', sha256(b.body))), '>', chr(13), chr(10),
         |       'WARC-Refers-To-Target-URI: ', b.url, chr(13), chr(10),
         |       'WARC-Refers-To-Date: ', b.d, chr(13), chr(10),
         |       'WARC-Date: ', a.d, chr(13), chr(10),

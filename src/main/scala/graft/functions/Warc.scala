@@ -136,17 +136,22 @@ object Warc {
     * codegen'd [[responseRecordCol]]/[[revisitRecordCol]] built-ins. Bodies
     * cross the digest shuffle once (they must: the elected original's body
     * is written); a heavy-recrawl corpus leaves with each payload stored
-    * once. Record ids are deterministic digests of (url, date), so re-runs
-    * and resumes emit byte-identical archives. */
+    * once. Record ids are deterministic digests of (url, date, payload
+    * digest) — distinct captures can never collide on an id even when a
+    * url is re-fetched within one date_iso tick with different bytes, and
+    * byte-identical re-reads of the same capture collapse to ONE row
+    * before the election (so a revisit can never point at its own id) —
+    * re-runs and resumes emit byte-identical archives. */
   def archiveDedupRecords(pages: DataFrame): DataFrame = {
     val digest = sha2(col("body").cast("binary"), 256)
-    val rid = concat(lit("<urn:sha256:"),
-      sha2(concat_ws("|", col("url"), col("date_iso")).cast("binary"), 256),
-      lit(">"))
     val w = Window.partitionBy("digest").orderBy(col("date_iso"), col("url"))
     pages
-      .select(col("url"), col("date_iso"), col("body"),
-        digest.as("digest"), rid.as("record_id"))
+      .select(col("url"), col("date_iso"), col("body"), digest.as("digest"))
+      .dropDuplicates("url", "date_iso", "digest")
+      .withColumn("record_id", concat(lit("<urn:sha256:"),
+        sha2(concat_ws("|", col("url"), col("date_iso"), col("digest"))
+          .cast("binary"), 256),
+        lit(">")))
       .withColumn("rn", row_number().over(w))
       .withColumn("orig",
         first(struct(col("record_id"), col("url"), col("date_iso"))).over(w))

@@ -471,7 +471,8 @@ object Dedup {
     * min-id (min-id systematically keeps whichever copy was crawled first,
     * which for syndicated content is often the scraper, not the origin).
     * Ties break to the smallest doc_id; docs missing a score rank below
-    * every scored doc. Output (component_id, keep_id, keep_score,
+    * every scored doc (an unscored winner reports keep_score null, never
+    * the internal sentinel). Output (component_id, keep_id, keep_score,
     * cluster_size) — one row per cluster. One extra id-keyed join + the
     * same min-struct aggregation shape as the id rule. */
   def componentDedupBy(pairs: DataFrame, scores: DataFrame): DataFrame =
@@ -479,11 +480,13 @@ object Dedup {
       .join(scores.select(col("doc_id"), col("score").cast("long").as("score")),
         Seq("doc_id"), "left")
       .groupBy("component_id")
-      .agg(max(struct(coalesce(col("score"), lit(Long.MinValue)).as("s"),
+      .agg(max(struct(col("score").isNotNull.as("scored"),
+          coalesce(col("score"), lit(Long.MinValue)).as("s"),
           (-col("doc_id")).as("negid"))).as("w"),
         count(lit(1)).as("cluster_size"))
       .select(col("component_id"), (-col("w.negid")).as("keep_id"),
-        col("w.s").as("keep_score"), col("cluster_size"))
+        when(col("w.scored"), col("w.s")).as("keep_score"),
+        col("cluster_size"))
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
@@ -507,8 +510,11 @@ object Dedup {
     *     self-joins);
     *   - the within-cell self-join is the paper's O(cellWidth²) pairwise
     *     pass; `nlist` is the control (the paper uses ~√N clusters) and
-    *     `maxCellWidth` hash-caps runaway cells (the hot-bucket treatment
-    *     of [[capBuckets]]) so one degenerate cell cannot go quadratic;
+    *     cells wider than `maxCellWidth` are TRUNCATED to their
+    *     maxCellWidth hash-smallest reps for pairing (the rest pass
+    *     through unpaired, kept) — partial recall in a degenerate cell,
+    *     never O(width²) and never a silent whole-cell no-op; size nlist
+    *     so expected cell width N/nlist stays under the cap;
     *   - candidate rows are narrow (two ids); vectors rejoin BY ID for the
     *     exact cosine verify;
     *   - duplicate groups close transitively via [[connectedComponents]]
@@ -539,9 +545,14 @@ object Dedup {
       .select(col("rep_id"), col("embedding"),
         col("_a._1").as("cell"), col("_a._2").as("cdot"))
 
-    // within-cell candidate pairs on narrow (cell, rep_id) rows, hash-capped
-    val cells = capBuckets(
-      assigned.select(col("cell"), col("rep_id")), maxCellWidth, Seq("cell"))
+    // within-cell candidate pairs on narrow (cell, rep_id) rows; over-wide
+    // cells truncate to their cap hash-smallest reps (constant rank bound →
+    // WindowGroupLimit prunes below the exchange)
+    val wCell = Window.partitionBy("cell")
+      .orderBy(xxhash64(lit("semdedup-cap"), col("rep_id")), col("rep_id"))
+    val cells = assigned.select(col("cell"), col("rep_id"))
+      .withColumn("crank_", row_number().over(wCell))
+      .filter(col("crank_") <= maxCellWidth).drop("crank_")
     val candPairs = cells.alias("a").join(cells.alias("b"),
         col("a.cell") === col("b.cell") && col("a.rep_id") < col("b.rep_id"))
       .select(col("a.rep_id").as("ra"), col("b.rep_id").as("rb"))

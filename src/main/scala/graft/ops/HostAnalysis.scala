@@ -187,7 +187,13 @@ object HostAnalysis {
     * that picks the `budget - Σbase` +1 winners uses range-bucketed
     * enumeration (the [[Sampling.globalRowNumbers]] treatment) — per-bucket
     * windows + broadcast offsets, no single-partition global sort. Equal
-    * remainders always share a bucket, so cross-bucket order is total. */
+    * remainders always share a bucket, so cross-bucket order is total.
+    * Known degradation: remainders are data values, not hashes, so a
+    * pathologically uniform corpus (every host the same weight ⇒ every
+    * remainder equal) collapses to ONE bucket and its window ranks all
+    * hosts in a single task — still narrow (host, rem) rows, but
+    * single-threaded; sub-bucketing cannot fix it without changing the
+    * documented host-ascending tie order (the oracle's contract). */
   def crawlBudget(hosts: DataFrame, budget: Long): DataFrame = {
     require(budget >= 0L, s"budget must be >= 0, got $budget")
     import org.apache.spark.sql.expressions.Window
@@ -240,13 +246,19 @@ object HostAnalysis {
     * O(hosts)) + a map-only evaluation of the same RobotsCache-backed
     * matcher the scheduler gates with — audit verdicts are identical to
     * fetch-time verdicts by construction. */
-  def robotsAudit(pages: DataFrame, robots: DataFrame,
-      agent: String): DataFrame = {
-    val allowUdf = udf { (txt: String, path: String) =>
+  /** The ONE robots verdict both audits share (and the same matcher the
+    * scheduler's fetch gate uses): a second copy could drift and break the
+    * audit-equals-fetch-behavior guarantee. */
+  private def robotsAllowUdf(agent: String) =
+    udf { (txt: String, path: String) =>
       if (txt == null || txt.isEmpty) true
       else graft.crawl.RobotsCache.get(txt)
         .testAgent(if (path == null || path.isEmpty) "/" else path, agent)
     }
+
+  def robotsAudit(pages: DataFrame, robots: DataFrame,
+      agent: String): DataFrame = {
+    val allowUdf = robotsAllowUdf(agent)
     pages.join(robots.select(col("host"), col("robots_txt")), Seq("host"), "left")
       .withColumn("allowed",
         allowUdf(coalesce(col("robots_txt"), lit("")),
@@ -266,21 +278,19 @@ object HostAnalysis {
     * evaluation — the pages side shuffles on host once per snapshot side. */
   def robotsDrift(pages: DataFrame, robotsOld: DataFrame,
       robotsNew: DataFrame, agent: String): DataFrame = {
-    val allowUdf = udf { (txt: String, path: String) =>
-      if (txt == null || txt.isEmpty) true
-      else graft.crawl.RobotsCache.get(txt)
-        .testAgent(if (path == null || path.isEmpty) "/" else path, agent)
-    }
-    val path = graft.functions.Funcs.pathUdf(col("url"))
+    val allowUdf = robotsAllowUdf(agent)
     pages
       .join(robotsOld.select(col("host"), col("robots_txt").as("r_old")),
         Seq("host"), "left")
       .join(robotsNew.select(col("host"), col("robots_txt").as("r_new")),
         Seq("host"), "left")
-      .withColumn("allowed_old", allowUdf(coalesce(col("r_old"), lit("")), path))
-      .withColumn("allowed_new", allowUdf(coalesce(col("r_new"), lit("")), path))
+      .withColumn("path_", graft.functions.Funcs.pathUdf(col("url")))
+      .withColumn("allowed_old",
+        allowUdf(coalesce(col("r_old"), lit("")), col("path_")))
+      .withColumn("allowed_new",
+        allowUdf(coalesce(col("r_new"), lit("")), col("path_")))
       .withColumn("newly_disallowed",
         col("allowed_old") && !col("allowed_new"))
-      .drop("r_old", "r_new")
+      .drop("r_old", "r_new", "path_")
   }
 }

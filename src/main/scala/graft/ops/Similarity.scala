@@ -162,12 +162,19 @@ object Similarity {
     if (n == 0) v else v.map(_ / n)
   }
 
-  /** Nearest-centroid assignment as `struct(cell int, cdot double)` — the
-    * best cell and its dot against the (unit) centroid. One UDF serves both
-    * the IVF index build (cell) and SemDeDup's keep rule (cdot). */
+  /** Nearest-centroid assignment as `struct(cell int, ccos double)` — the
+    * best cell and the COSINE against its (unit) centroid. One UDF serves
+    * both the IVF index build (cell) and SemDeDup's keep rule (ccos). The
+    * argmax is computed on raw dots (norm-invariant — the same cell wins),
+    * but the reported score divides by |vec| so cross-vector comparisons
+    * (SemDeDup keeps the LOWEST-centroid-cosine member) are angular, not
+    * magnitude-biased, on non-unit embeddings. */
   private[ops] def assignUdf(cents: Array[Array[Double]]) =
     udf { (vec: Array[Float]) =>
       var best = 0; var bestDot = Double.NegativeInfinity
+      var norm2 = 0.0
+      var k = 0
+      while (k < vec.length) { norm2 += vec(k).toDouble * vec(k); k += 1 }
       var c = 0
       while (c < cents.length) {
         val row = cents(c)
@@ -177,7 +184,7 @@ object Similarity {
         if (dot > bestDot) { bestDot = dot; best = c }
         c += 1
       }
-      (best, bestDot)
+      (best, if (norm2 == 0.0) 0.0 else bestDot / math.sqrt(norm2))
     }
 
   /** Deterministic cosine k-means over `(vec_id, embedding)`: seeds are the

@@ -109,7 +109,8 @@ object TextAnalysis {
   def mixedLanguageSignals(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val paras = docs.select(col(idCol),
-        explode(filter(split(col(textCol), "\n{2,}"),
+        // CRLF-aware: a Windows-lineended page's blank lines are \r\n\r\n
+        explode(filter(split(col(textCol), "(\\r?\\n){2,}"),
           p => length(trim(p)) > 0)).as("para"))
       .select(col(idCol), langIdUdf(col("para")).as("plang"))
     val counts = paras.groupBy(idCol, "plang").agg(count(lit(1)).as("n"))
@@ -211,7 +212,7 @@ object TextAnalysis {
     * paragraph text (or its sha at scale); map-side partial agg applies. */
   def paragraphDedup(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
-        explode(split(col(textCol), "\n")).as("paragraph"))
+        explode(split(col(textCol), "\\r?\\n")).as("paragraph"))
       .filter(length(trim(col("paragraph"))) > 0)
       .groupBy("paragraph")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
@@ -220,11 +221,16 @@ object TextAnalysis {
     * international-format phone numbers with redaction tokens. Pure
     * `regexp_replace` — codegen'd, no UDF; the patterns are RE2-compatible
     * so the same expressions run in any engine. */
-  def piiScrub(text: Column): Column = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+\\d{1,3}-\\d{3}-\\d{4}"
-    regexp_replace(regexp_replace(text, email, "[EMAIL]"), phone, "[PHONE]")
-  }
+  // ONE pattern set shared by piiScrub and piiCounts: the routing
+  // invariant "n_email == 0 implies the scrub is a no-op" holds only if
+  // both methods literally reference the same regex
+  private val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val piiPhoneRe = "\\+\\d{1,3}-\\d{3}-\\d{4}"
+  private val piiIpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiScrub(text: Column): Column =
+    regexp_replace(regexp_replace(text, piiEmailRe, "[EMAIL]"),
+      piiPhoneRe, "[PHONE]")
 
   /** PII localization counts — the triage complement to [[piiScrub]]: how
     * many matches of each class a document carries, so a pipeline can
@@ -232,15 +238,11 @@ object TextAnalysis {
     * (scrub vs drop). Same RE2-compatible patterns as the scrub, plus
     * IPv4; pure regexp_count built-ins, map-only, shuffle-free. */
   def piiCounts(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+\\d{1,3}-\\d{3}-\\d{4}"
-    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
-      regexp_count(col(textCol), lit(email)).cast("long").as("n_email"),
-      regexp_count(col(textCol), lit(phone)).cast("long").as("n_phone"),
-      regexp_count(col(textCol), lit(ip)).cast("long").as("n_ip"))
-  }
+      regexp_count(col(textCol), lit(piiEmailRe)).cast("long").as("n_email"),
+      regexp_count(col(textCol), lit(piiPhoneRe)).cast("long").as("n_phone"),
+      regexp_count(col(textCol), lit(piiIpRe)).cast("long").as("n_ip"))
 
   /** Line-repetition ratio (boilerplate/spam signal): 1 - distinct/total
     * over newline-split lines. UDF-free array arithmetic. */
@@ -296,13 +298,20 @@ object TextAnalysis {
     * case-insensitive leak matching) and windowDedupStats (lowercase=false:
     * Lee et al.'s exact substrings). Both gates are oracle-checked against
     * the same hash recipe; keeping it in one place stops them drifting. */
-  private def windowHashes(c: Column, n: Int, lowercase: Boolean): Column = {
-    val toks = split(trim(if (lowercase) lower(c) else c), "\\s+")
+  /** THE n-token window-hash kernel, positional (hash of the window
+    * starting at each token index, in order, no dedup). Every pass that
+    * measures, cuts, or compares window sets must build on this one
+    * expression — a second copy of the recipe (separator, tokenizer,
+    * hash) would let the measured and the edited sets drift. */
+  private def positionalWindowHashes(toks: Column, n: Int): Column =
     when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " ")))))
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(array_join(slice(toks, i + 1, lit(n)), " "))))
       .otherwise(array().cast("array<bigint>"))
-  }
+
+  private def windowHashes(c: Column, n: Int, lowercase: Boolean): Column =
+    array_distinct(positionalWindowHashes(
+      split(trim(if (lowercase) lower(c) else c), "\\s+"), n))
 
   /** Cross-document exact-substring REMOVAL (the cut pass of Lee et al.
     * 2021's EXACTSUBSTR, n-token-window formulation — [[windowDedupStats]]
@@ -336,11 +345,7 @@ object TextAnalysis {
       .select(col(idCol),
         when(length(trim(col(textCol))) > 0, toks(col(textCol)))
           .otherwise(array().cast("array<string>")).as("tk"))
-      .select(col(idCol),
-        when(size(col("tk")) >= n,
-          transform(sequence(lit(0), size(col("tk")) - n),
-            i => xxhash64(array_join(slice(col("tk"), i + 1, lit(n)), " "))))
-          .otherwise(array().cast("array<bigint>")).as("ws"))
+      .select(col(idCol), positionalWindowHashes(col("tk"), n).as("ws"))
       .select(col(idCol), posexplode(col("ws")).as(Seq("pos", "h")))
     val dup = wins.groupBy("h")
       .agg(countDistinct(col(idCol)).as("ndocs"),

@@ -25,6 +25,14 @@ class DedupKeepSpec extends AnyFunSuite {
     val out = Dedup.componentDedupBy(pairs, scores).collect()
     assert(out.length == 1 && out.head.getLong(1) == 7L)
   }
+
+  test("componentDedupBy: fully unscored cluster reports null, not sentinel") {
+    val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+    val scores = Seq((99L, 1L)).toDF("doc_id", "score") // neither member
+    val out = Dedup.componentDedupBy(pairs, scores).head()
+    assert(out.getLong(1) == 1L) // min id among unscored
+    assert(out.isNullAt(2)) // keep_score null — no Long.MinValue leak
+  }
 }
 
 class SubstrStripSpec extends AnyFunSuite {

@@ -34,6 +34,11 @@ class MixedLangSpec extends AnyFunSuite {
     assert(out(4L) == ((2L, 1L, "en", 1000000L, false)))
   }
 
+  test("CRLF blank lines split paragraphs like LF ones") {
+    val out = run(Seq((6L, s"$en\r\n\r\n$de")))
+    assert(out(6L) == ((2L, 2L, "de", 500000L, true)))
+  }
+
   test("majority vote, not first-paragraph: nav-template mix detected") {
     val out = run(Seq((7L, s"$en\n\n$de\n\n$de\n\n$de")))
     assert(out(7L)._3 == "de")

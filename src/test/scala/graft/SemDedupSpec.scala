@@ -56,6 +56,31 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out(50L)._3 && !out(10L)._3) // atypical member kept
   }
 
+  test("keep rule is angular on non-unit vectors (not magnitude-biased)") {
+    // A sits dead on the centroid direction with a TINY norm; B sits 1 deg
+    // off with a LARGE norm. Raw dot would rank A (0.5) below B (~2.0) and
+    // delete the angular outlier; the cosine rule must keep B.
+    def scaled(a: Double, s: Float): Array[Float] = deg(a).map(_ * s)
+    val vs = Seq(1L -> scaled(20, 0.5f), 2L -> scaled(21, 2.0f)) ++
+      (10L to 14L).map(i => i -> deg(19 + (i - 10) * 0.01)) // centroid mass at ~20
+    val out = run(vs, tau = 0.9996)
+    assert(out(1L)._2 == out(2L)._2) // cos(1 deg) pair regardless of norms
+    assert(out(2L)._3 && !out(1L)._3) // angular outlier B kept
+  }
+
+  test("over-wide cells truncate (partial pairing), never a silent no-op") {
+    // 6 distinct reps 0.5 deg apart in ONE cell, cap 4: any 4-subset of a
+    // 6-path contains an adjacent (>= tau) pair, so truncation must still
+    // remove at least one duplicate — the old whole-cell drop removed none
+    val vs = (0L until 6L).map(i => i -> deg(i * 0.5))
+    val out = Dedup.semDedup(vs.toDF("vec_id", "embedding").repartition(4),
+        dim = 4, minCosine = 0.9996, nlist = 1, maxCellWidth = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.size == 6) // truncation never drops rows from the output
+    assert(out.values.count(_ == false) >= 1)
+    assert(out.values.count(_ == true) >= 2)
+  }
+
   test("deterministic at any parallelism") {
     val vs = (0L until 60L).map(i => i -> deg((i % 20) * 7.0 + (i % 3) * 0.5))
     val a = run(vs, tau = 0.9999, nlist = 4, parts = 1)

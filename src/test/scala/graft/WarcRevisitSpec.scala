@@ -75,6 +75,22 @@ class WarcRevisitSpec extends AnyFunSuite {
       == s"sha256:$dig")
   }
 
+  test("same-second re-fetches: distinct payloads get distinct record ids," +
+      " identical captures collapse to one row") {
+    val clash = Seq(
+      ("http://a/x", "2017-01-01T00:00:00Z", "payload one"),
+      ("http://a/x", "2017-01-01T00:00:00Z", "payload two"), // same url+date
+      ("http://a/x", "2017-01-01T00:00:00Z", "payload one")  // exact dup row
+    ).toDF("url", "date_iso", "body")
+    val out = Warc.archiveDedupRecords(clash)
+      .select(col("record_type"),
+        Warc.parsedRecordCol(col("record")).getField("record_id").as("rid"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.length == 2) // the byte-identical duplicate capture collapsed
+    assert(out.map(_._1).sorted.toSeq == Seq("response", "response"))
+    assert(out.map(_._2).distinct.length == 2) // no WARC-Record-ID collision
+  }
+
   test("archiveDedup emits identical bytes at any parallelism") {
     def runAt(n: Int): Seq[String] =
       Warc.archiveDedupRecords(pages.repartition(n))

@@ -528,6 +528,29 @@ object SparkEntry {
         clusterText(col("doc_id")).as("body"))
       graft.functions.Warc.archiveDedupRecords(pages)
     }),
+    // S11: the REST of the reference's WARC record-type family (request /
+    // resource / metadata / continuation — record.go declares eight types;
+    // response, warcinfo, conversion, revisit are gated by s5/s9/s10) —
+    // one row carries all four serializations, byte-compared to a SQL
+    // reconstruction
+    "s11_warc_records" -> ((s, d) => {
+      val u = urlCol(col("doc_id"))
+      val date = lit("2017-01-01T00:00:00Z")
+      def rid(p: String) = concat(lit("<urn:sha256:"),
+        sha2(concat(lit(p), u).cast("binary"), 256), lit(">"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.Warc.requestRecordCol(u, date, rid("req:"),
+          concat(lit("GET /doc/"), col("doc_id").cast("string"),
+            lit(" HTTP/1.1"))).as("request_rec"),
+        graft.functions.Warc.resourceRecordCol(u, date, rid("res:"),
+          lit("text/plain"), col("text")).as("resource_rec"),
+        graft.functions.Warc.metadataRecordCol(u, date, rid("meta:"),
+          rid("req:"), concat(lit("via: "), u)).as("metadata_rec"),
+        graft.functions.Warc.continuationRecordCol(u, date, rid("cont:"),
+          concat(lit("<urn:sha256:"), sha2(col("text").cast("binary"), 256),
+            lit(">")),
+          lit(2), substring(col("text"), 1, 10)).as("continuation_rec"))
+    }),
     // A9: sharded-bloom URL-seen prefilter + exact confirm — must equal the
     // exact anti-join (the j8 oracle re-used as this query's oracle). Uses
     // the scale path: per-shard filters built by executors, probed via the
@@ -1738,6 +1761,42 @@ object SparkEntry {
         | r AS (SELECT host, base, row_number() OVER (ORDER BY rem DESC, host) AS rk FROM b)
         | SELECT host, CAST(base + CASE WHEN rk <= (SELECT deficit FROM d) THEN 1 ELSE 0 END AS BIGINT) AS alloc
         | FROM r""".stripMargin.replace("\n", ""),
+    "s11_warc_records" ->
+      s"""WITH p AS (SELECT doc_id, $urlsSql AS url, text,
+        |     concat('GET /doc/', CAST(doc_id AS VARCHAR), ' HTTP/1.1') AS reqbody,
+        |     substr(text, 1, 10) AS contbody FROM documents)
+        | SELECT doc_id,
+        |   concat('WARC/1.0', chr(13), chr(10), 'WARC-Type: request', chr(13), chr(10),
+        |     'WARC-Record-ID: <urn:sha256:', sha256(concat('req:', url)), '>', chr(13), chr(10),
+        |     'WARC-Date: 2017-01-01T00:00:00Z', chr(13), chr(10),
+        |     'WARC-Target-URI: ', url, chr(13), chr(10),
+        |     'Content-Type: application/http; msgtype=request', chr(13), chr(10),
+        |     'Content-Length: ', CAST(octet_length(encode(reqbody)) AS VARCHAR), chr(13), chr(10),
+        |     chr(13), chr(10), reqbody, chr(13), chr(10), chr(13), chr(10)) AS request_rec,
+        |   concat('WARC/1.0', chr(13), chr(10), 'WARC-Type: resource', chr(13), chr(10),
+        |     'WARC-Record-ID: <urn:sha256:', sha256(concat('res:', url)), '>', chr(13), chr(10),
+        |     'WARC-Date: 2017-01-01T00:00:00Z', chr(13), chr(10),
+        |     'WARC-Target-URI: ', url, chr(13), chr(10),
+        |     'Content-Type: text/plain', chr(13), chr(10),
+        |     'Content-Length: ', CAST(octet_length(encode(text)) AS VARCHAR), chr(13), chr(10),
+        |     chr(13), chr(10), text, chr(13), chr(10), chr(13), chr(10)) AS resource_rec,
+        |   concat('WARC/1.0', chr(13), chr(10), 'WARC-Type: metadata', chr(13), chr(10),
+        |     'WARC-Record-ID: <urn:sha256:', sha256(concat('meta:', url)), '>', chr(13), chr(10),
+        |     'WARC-Refers-To: <urn:sha256:', sha256(concat('req:', url)), '>', chr(13), chr(10),
+        |     'WARC-Date: 2017-01-01T00:00:00Z', chr(13), chr(10),
+        |     'WARC-Target-URI: ', url, chr(13), chr(10),
+        |     'Content-Type: application/warc-fields', chr(13), chr(10),
+        |     'Content-Length: ', CAST(octet_length(encode(concat('via: ', url))) AS VARCHAR), chr(13), chr(10),
+        |     chr(13), chr(10), 'via: ', url, chr(13), chr(10), chr(13), chr(10)) AS metadata_rec,
+        |   concat('WARC/1.0', chr(13), chr(10), 'WARC-Type: continuation', chr(13), chr(10),
+        |     'WARC-Record-ID: <urn:sha256:', sha256(concat('cont:', url)), '>', chr(13), chr(10),
+        |     'WARC-Segment-Origin-ID: <urn:sha256:', sha256(text), '>', chr(13), chr(10),
+        |     'WARC-Segment-Number: 2', chr(13), chr(10),
+        |     'WARC-Date: 2017-01-01T00:00:00Z', chr(13), chr(10),
+        |     'WARC-Target-URI: ', url, chr(13), chr(10),
+        |     'Content-Length: ', CAST(octet_length(encode(contbody)) AS VARCHAR), chr(13), chr(10),
+        |     chr(13), chr(10), contbody, chr(13), chr(10), chr(13), chr(10)) AS continuation_rec
+        | FROM p""".stripMargin.replace("\n", ""),
     "s10_warc_revisit" ->
       s"""WITH p AS (
         |   SELECT doc_id, $urlsSql AS url,

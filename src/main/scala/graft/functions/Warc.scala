@@ -168,6 +168,69 @@ object Warc {
         .as("record"))
   }
 
+  /** `request` record (record.go:179-225): the scheme-specific request
+    * that produced a response capture, typed application/http
+    * msgtype=request. Completes a request/response capture pair. */
+  def requestRecordCol(targetUri: Column, dateIso: Column, recordId: Column,
+      body: Column): Column =
+    concat(
+      lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: request" + CRLF),
+      field("WARC-Record-ID", recordId),
+      field("WARC-Date", dateIso),
+      field("WARC-Target-URI", targetUri),
+      field("Content-Type", lit("application/http; msgtype=request")),
+      field("Content-Length", octet_length(body).cast("string")),
+      lit(CRLF), body, lit(CRLF + CRLF))
+
+  /** `resource` record (record.go:103-178): a resource captured without
+    * full protocol response information (data dumps, file imports, the
+    * blob-sink side of S4); `contentType` types the payload itself. */
+  def resourceRecordCol(targetUri: Column, dateIso: Column, recordId: Column,
+      contentType: Column, body: Column): Column =
+    concat(
+      lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: resource" + CRLF),
+      field("WARC-Record-ID", recordId),
+      field("WARC-Date", dateIso),
+      field("WARC-Target-URI", targetUri),
+      field("Content-Type", contentType),
+      field("Content-Length", octet_length(body).cast("string")),
+      lit(CRLF), body, lit(CRLF + CRLF))
+
+  /** `metadata` record (record.go:226-279): warc-fields content describing
+    * another record (harvest context, seed provenance), linked via
+    * WARC-Refers-To. */
+  def metadataRecordCol(targetUri: Column, dateIso: Column, recordId: Column,
+      refersTo: Column, body: Column): Column =
+    concat(
+      lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: metadata" + CRLF),
+      field("WARC-Record-ID", recordId),
+      field("WARC-Refers-To", refersTo),
+      field("WARC-Date", dateIso),
+      field("WARC-Target-URI", targetUri),
+      field("Content-Type", lit("application/warc-fields")),
+      field("Content-Length", octet_length(body).cast("string")),
+      lit(CRLF), body, lit(CRLF + CRLF))
+
+  /** `continuation` record (record.go:360-407): a later segment of a
+    * record split across WARC files — WARC-Segment-Origin-ID names the
+    * first segment's record id, WARC-Segment-Number is >= 2 (§5.20). */
+  def continuationRecordCol(targetUri: Column, dateIso: Column,
+      recordId: Column, segmentOriginId: Column, segmentNumber: Column,
+      body: Column): Column =
+    concat(
+      lit("WARC/1.0" + CRLF),
+      lit("WARC-Type: continuation" + CRLF),
+      field("WARC-Record-ID", recordId),
+      field("WARC-Segment-Origin-ID", segmentOriginId),
+      field("WARC-Segment-Number", segmentNumber.cast("string")),
+      field("WARC-Date", dateIso),
+      field("WARC-Target-URI", targetUri),
+      field("Content-Length", octet_length(body).cast("string")),
+      lit(CRLF), body, lit(CRLF + CRLF))
+
   /** warcinfo file-header record (record.go:47-84). */
   def warcInfoRecordCol(recordId: Column, dateIso: Column,
       filename: Column, body: Column): Column =

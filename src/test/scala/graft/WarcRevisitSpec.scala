@@ -98,3 +98,54 @@ class WarcRevisitSpec extends AnyFunSuite {
     assert(runAt(1) == runAt(8))
   }
 }
+
+/** The rest of the record-type family: request / resource / metadata /
+  * continuation all parse back with their linkage headers intact. */
+class WarcRecordFamilySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def parsed(rec: org.apache.spark.sql.Column) =
+    Seq(1).toDF("i").select(Warc.parsedRecordCol(rec).as("p")).head()
+      .getStruct(0)
+
+  test("request record round-trips") {
+    val p = parsed(Warc.requestRecordCol(lit("http://h/x"),
+      lit("2017-01-01T00:00:00Z"), lit("<id:r>"), lit("GET /x HTTP/1.1")))
+    assert(p.getAs[String]("warc_type") == "request")
+    assert(p.getAs[String]("body") == "GET /x HTTP/1.1")
+    assert(p.getAs[Map[String, String]]("headers")("Content-Type")
+      == "application/http; msgtype=request")
+  }
+
+  test("resource record carries the payload content type") {
+    val p = parsed(Warc.resourceRecordCol(lit("http://h/f.css"),
+      lit("2017-01-01T00:00:00Z"), lit("<id:s>"), lit("text/css"),
+      lit("body { }")))
+    assert(p.getAs[String]("warc_type") == "resource")
+    assert(p.getAs[Map[String, String]]("headers")("Content-Type") == "text/css")
+    assert(p.getAs[Long]("content_length") == 8L)
+  }
+
+  test("metadata record links via Refers-To and is typed warc-fields") {
+    val p = parsed(Warc.metadataRecordCol(lit("http://h/x"),
+      lit("2017-01-01T00:00:00Z"), lit("<id:m>"), lit("<id:r>"),
+      lit("via: http://seed/")))
+    assert(p.getAs[String]("warc_type") == "metadata")
+    assert(p.getAs[Map[String, String]]("headers")("WARC-Refers-To") == "<id:r>")
+    assert(p.getAs[Map[String, String]]("headers")("Content-Type")
+      == "application/warc-fields")
+  }
+
+  test("continuation record carries segment origin and number") {
+    val p = parsed(Warc.continuationRecordCol(lit("http://h/big"),
+      lit("2017-01-01T00:00:00Z"), lit("<id:c>"), lit("<id:orig>"), lit(2),
+      lit("tail-bytes")))
+    assert(p.getAs[String]("warc_type") == "continuation")
+    val h = p.getAs[Map[String, String]]("headers")
+    assert(h("WARC-Segment-Origin-ID") == "<id:orig>")
+    assert(h("WARC-Segment-Number") == "2")
+    assert(!h.contains("Content-Type")) // continuations carry none (§5.20)
+    assert(p.getAs[String]("body") == "tail-bytes")
+  }
+}

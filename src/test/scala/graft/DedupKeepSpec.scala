@@ -68,6 +68,26 @@ class SubstrStripSpec extends AnyFunSuite {
     assert(at2(3L) == (("tiny doc", 0L)))
   }
 
+  test("no text column crosses the window-hash exchanges (plan)") {
+    val docs = (0L until 20L)
+      .map(i => (i, s"tok${i % 5} a b c d e f g tok${i % 5} tail$i"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.windowDedupRemove(docs, n = 4)
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the corpus-sized shuffles key on the window hash `h` and carry only
+    // narrow (id, pos, hash) rows; the text rejoins by doc id for the cut
+    exchanges.foreach { e =>
+      if (e.outputPartitioning.toString.contains("h#")) {
+        val strings = e.output.filter(
+          _.dataType == org.apache.spark.sql.types.StringType)
+        assert(strings.isEmpty,
+          s"text ${strings.map(_.name)} crosses the window-hash exchange")
+      }
+    }
+  }
+
   test("token order preserved around multiple removed spans") {
     // two disjoint shared runs inside one doc; the owner doc holds both
     val runA = "a1 a2 a3 a4"

@@ -81,6 +81,25 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out.values.count(_ == true) >= 2)
   }
 
+  test("no embedding array crosses the cell-candidate exchange (plan)") {
+    val vs = (0L until 40L).map(i => i -> deg(i * 3.0))
+    val out = Dedup.semDedup(vs.toDF("vec_id", "embedding"),
+      dim = 4, minCosine = 0.999, nlist = 4)
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // the within-cell pairing shuffles narrow (cell, rep_id) rows; vectors
+    // rejoin BY ID only for the exact verify
+    exchanges.foreach { e =>
+      if (e.outputPartitioning.toString.contains("cell")) {
+        val arrays = e.output.filter(
+          _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(arrays.isEmpty,
+          s"arrays ${arrays.map(_.name)} cross the cell exchange")
+      }
+    }
+  }
+
   test("deterministic at any parallelism") {
     val vs = (0L until 60L).map(i => i -> deg((i % 20) * 7.0 + (i % 3) * 0.5))
     val a = run(vs, tau = 0.9999, nlist = 4, parts = 1)

@@ -16,7 +16,8 @@ object ExplainAudit {
       "j1_equi_join", "j5_semi_exists", "j8_frontier_seen_anti",
       "a3_multi_agg", "a6_latest_per_key", "d1_dedup_exact", "p13_ilike_search",
       "p16_domain_blocklist", "p17_url_features", "a11_change_rates",
-      "t16_dsir_scores", "ann4_pq_topk")
+      "t16_dsir_scores", "ann4_pq_topk", "h5_crawl_budget",
+      "d17_substr_strip", "s10_warc_revisit")
     interesting.foreach { name =>
       println(s"\n========== $name ==========")
       println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(

@@ -202,31 +202,42 @@ object HostAnalysis {
     val pos = all
       .select(col("host"), col("weight").cast(dec).as("w"))
       .filter(col("w") > 0)
-    val totals = pos.agg(sum("w").cast(dec).as("_tot"))
-    val withBase = pos.crossJoin(broadcast(totals))
+    // the grand total and the deficit are single scalars: collect them
+    // instead of cross-joining aggregate subtrees — a plan diamond would
+    // re-evaluate the (possibly expensive) hosts input once per consumer
+    // branch (the r3 frontier-view lesson); with the checkpoint below the
+    // input is computed exactly twice (total, then the staged frame)
+    val totRow = pos.agg(sum("w").cast(dec)).head()
+    if (totRow.isNullAt(0)) // no positive weight: nothing to apportion
+      return all.select(col("host"), lit(0L).as("alloc"))
+    val tot = s"CAST('${totRow.getDecimal(0).toBigInteger}' AS $dec)"
+    // one narrow (host, base, rem, bucket) frame, evaluated ONCE and
+    // reused by the deficit scalar, the bucket offsets, and the rank join
+    val staged = pos
       .withColumn("_prod", (lit(budget).cast(dec) * col("w")).cast(dec))
-      .withColumn("_base", expr("_prod div _tot"))
-      .withColumn("_rem", expr(s"CAST(_prod % _tot AS $dec)"))
-    val deficit = withBase.agg(
-      (lit(budget) - coalesce(sum("_base"), lit(0L))).as("_deficit"))
+      .withColumn("_base", expr(s"_prod div $tot"))
+      .withColumn("_rem", expr(s"CAST(_prod % $tot AS $dec)"))
+      .withColumn("_rb", expr(s"CAST((_rem * 4096) div $tot AS INT)"))
+      .select("host", "_base", "_rem", "_rb")
+      .localCheckpoint()
+    // `div` yields LongType, so the base sum is a plain long (<= budget)
+    val deficit = budget -
+      staged.agg(coalesce(sum("_base"), lit(0L))).head().getLong(0)
     // descending-remainder global rank without a global sort: range-bucket
     // the remainder (bucket is monotone in _rem, so equal remainders share
     // a bucket), broadcast per-bucket offsets, rank within buckets
-    val bucketed = withBase
-      .withColumn("_rb", expr("CAST((_rem * 4096) div _tot AS INT)"))
-    val offsets = bucketed.groupBy("_rb").agg(count(lit(1)).as("_n"))
+    val offsets = staged.groupBy("_rb").agg(count(lit(1)).as("_n"))
       .withColumn("_off", coalesce(
         sum("_n").over(Window.orderBy(col("_rb").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_rb", "_off")
-    val ranked = bucketed
+    val ranked = staged
       .join(broadcast(offsets), Seq("_rb"))
       .withColumn("_rank", col("_off") + row_number().over(
         Window.partitionBy("_rb").orderBy(col("_rem").desc, col("host")))
         .cast("long"))
-      .crossJoin(broadcast(deficit))
       .select(col("host"),
-        (col("_base") + when(col("_rank") <= col("_deficit"), 1L)
+        (col("_base") + when(col("_rank") <= lit(deficit), 1L)
           .otherwise(0L)).as("alloc"))
     all.select(col("host")).join(ranked, Seq("host"), "left")
       .select(col("host"), coalesce(col("alloc"), lit(0L)).as("alloc"))

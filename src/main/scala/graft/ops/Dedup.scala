@@ -540,10 +540,14 @@ object Dedup {
     val centroids = Similarity.trainCentroids(
       repVecs.select(col("rep_id").as("vec_id"), col("embedding")),
       dim, nlist, lloydIters)
+    // evaluated ONCE: the cells window, the verify's vector rejoin, and
+    // the keep rule all branch from this frame — without the checkpoint
+    // each branch re-runs the content-hash groupBy + rep join + assignment
     val assigned = repVecs.withColumn("_a",
         Similarity.assignUdf(centroids)(col("embedding")))
       .select(col("rep_id"), col("embedding"),
         col("_a._1").as("cell"), col("_a._2").as("cdot"))
+      .localCheckpoint()
 
     // within-cell candidate pairs on narrow (cell, rep_id) rows; over-wide
     // cells truncate to their cap hash-smallest reps (constant rank bound →

@@ -341,6 +341,10 @@ object TextAnalysis {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     def toks(c: Column): Column = split(trim(c), "\\s+")
     val base = docs.select(col(idCol), col(textCol))
+    // `wins` is consumed twice (owner election, join-back) and is
+    // deliberately RECOMPUTED, not checkpointed: it is a map-only explode
+    // of the corpus — re-running the scan is cheaper than materializing
+    // O(corpus tokens) of narrow rows as cluster state
     val wins = base
       .select(col(idCol),
         when(length(trim(col(textCol))) > 0, toks(col(textCol)))

@@ -1158,6 +1158,20 @@ object SparkEntry {
       graft.ops.HostAnalysis.robotsDrift(pages, robotsOld, robotsNew,
         agent = "GraftBot")
     }),
+    // S12: sitemap-to-seed pipeline — discovered <loc> urls gated by
+    // fetchable scheme (the ftp loc drops) and source-prefix containment
+    // (sites 0-24 are registered): the J7/SeedUrlHandler composition
+    "s12_sitemap_seed" -> ((s, d) => {
+      import s.implicits._
+      val xml = concat(lit("<urlset><url><loc>http://site"),
+        (col("doc_id") % 50).cast("string"), lit(".example.com/page/"),
+        col("doc_id").cast("string"), lit("</loc></url><url><loc>ftp://site"),
+        (col("doc_id") % 50).cast("string"), lit(".example.com/bad/"),
+        col("doc_id").cast("string"), lit("</loc></url></urlset>"))
+      val sources = (0 until 25).map(k => s"site$k.example.com").toDF("prefix")
+      graft.functions.Sitemap.seedCandidates(
+        t(s, d, "documents").select(xml.as("xml")), sources)
+    }),
     // D14: incremental delta-vs-corpus dedup — the per-wave production
     // shape: each cluster's %4==0 member re-arrives (id-shifted) as the
     // delta and must match all 4 of its cluster's corpus members; no
@@ -2118,6 +2132,11 @@ object SparkEntry {
         | NOT (doc_id % 4 = 0 AND doc_id % 50 < 25) AS allowed FROM documents""".stripMargin.replace("\n", "")),
     "d14_delta_dedup" ->
       "SELECT b.doc_id AS corpus_id, a.doc_id + 1000000 AS delta_id FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 WHERE a.doc_id % 4 = 0",
+    "s12_sitemap_seed" ->
+      ("""SELECT concat('http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/page/', CAST(doc_id AS VARCHAR)) AS loc,
+        | CASE WHEN doc_id % 50 < 25 THEN concat('site', CAST(doc_id % 50 AS VARCHAR), '.example.com') END AS pref,
+        | doc_id % 50 < 25 AS eligible
+        | FROM documents""".stripMargin.replace("\n", "")),
     "h6_robots_drift" ->
       ("""SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) AS host,
         | 'http://site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' ||

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sitemap discovery — the crawl-seeding side-channel next to link
@@ -37,4 +37,34 @@ object Sitemap {
     * pages) — routes the url to the sitemap lane instead of the page lane. */
   def isSitemapIndexCol(xml: Column): Column =
     xml.rlike("(?is)<\\s*sitemapindex[\\s>]")
+
+  /** Sitemap-to-seed pipeline: the operational composition the reference
+    * runs around its SeedUrlHandler — discovered sitemap `<loc>` urls
+    * become seed CANDIDATES only if they (a) carry a fetchable scheme
+    * (core/url.go:305-314 — "", http, https; the P2 gate) and (b) fall
+    * inside a registered source prefix (the ValidArchivingUrl containment
+    * gate of core/urls.go:111-121, the J7 theta shape — the same rule
+    * Scheduler.seedUrl enforces, so everything this op emits as eligible
+    * is accepted by the seed write path).
+    *
+    * Input: `sitemaps(xml)` fetched sitemap bodies, `sources(prefix)` the
+    * registered source prefixes. Output one row per DISTINCT discovered
+    * loc: `(loc, pref, eligible)` — pref = the matching source prefix
+    * (smallest on multi-match, for determinism; null when none).
+    *
+    * Scale shape: locs explode narrow and dedup by value (one shuffle);
+    * the source catalog is small by construction (a curated registry) and
+    * broadcasts — the theta containment join never shuffles the loc side;
+    * scheme gating is a codegen'd prefix test. */
+  def seedCandidates(sitemaps: DataFrame, sources: DataFrame): DataFrame = {
+    val locs = sitemaps
+      .select(explode(sitemapLocsCol(col("xml"))).as("loc")).distinct()
+      .filter(col("loc").startsWith("http://") ||
+        col("loc").startsWith("https://"))
+    locs.join(broadcast(sources.select(col("prefix"))),
+        expr("loc LIKE concat('%', prefix, '%')"), "left")
+      .groupBy("loc")
+      .agg(min(col("prefix")).as("pref"))
+      .withColumn("eligible", col("pref").isNotNull)
+  }
 }

@@ -950,3 +950,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.getAs[String]("media_hash").startsWith("1220"))
   }
 }
+
+class SeedCandidatesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  import graft.functions.Sitemap
+
+  test("dedup across sitemaps, scheme gate, containment eligibility") {
+    val maps = Seq(
+      "<urlset><url><loc>http://a.com/x</loc></url><url><loc>ftp://a.com/f</loc></url></urlset>",
+      "<urlset><url><loc>http://a.com/x</loc></url><url><loc>https://b.org/y</loc></url></urlset>",
+      "<urlset><url><loc>http://nomatch.net/z</loc></url></urlset>"
+    ).toDF("xml")
+    val sources = Seq("a.com", "b.org").toDF("prefix")
+    val out = Sitemap.seedCandidates(maps, sources).collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)), r.getBoolean(2))))
+      .toMap
+    assert(out.size == 3) // the repeated loc deduped, the ftp loc gated out
+    assert(out("http://a.com/x") == ((Some("a.com"), true)))
+    assert(out("https://b.org/y") == ((Some("b.org"), true)))
+    assert(out("http://nomatch.net/z") == ((None, false)))
+  }
+
+  test("multi-prefix match resolves to the smallest prefix deterministically") {
+    val maps = Seq("<urlset><url><loc>http://a.com/deep/page</loc></url></urlset>")
+      .toDF("xml")
+    val sources = Seq("a.com/deep", "a.com").toDF("prefix")
+    val out = Sitemap.seedCandidates(maps, sources).head()
+    assert(out.getString(1) == "a.com")
+  }
+}

@@ -61,8 +61,10 @@ object Sitemap {
       .select(explode(sitemapLocsCol(col("xml"))).as("loc")).distinct()
       .filter(col("loc").startsWith("http://") ||
         col("loc").startsWith("https://"))
+    // literal containment (strings.Contains semantics) — LIKE would treat
+    // '_'/'%' inside a registered prefix as wildcards
     locs.join(broadcast(sources.select(col("prefix"))),
-        expr("loc LIKE concat('%', prefix, '%')"), "left")
+        expr("contains(loc, prefix)"), "left")
       .groupBy("loc")
       .agg(min(col("prefix")).as("pref"))
       .withColumn("eligible", col("pref").isNotNull)

@@ -979,4 +979,14 @@ class SeedCandidatesSpec extends AnyFunSuite {
     val out = Sitemap.seedCandidates(maps, sources).head()
     assert(out.getString(1) == "a.com")
   }
+
+  test("containment is literal: '_' in a prefix is not a wildcard") {
+    val maps = Seq("<urlset><url><loc>http://mysite.com/a</loc></url>" +
+      "<url><loc>http://my_site.com/b</loc></url></urlset>").toDF("xml")
+    val sources = Seq("my_site.com").toDF("prefix")
+    val out = Sitemap.seedCandidates(maps, sources).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(out("http://my_site.com/b"))
+    assert(!out("http://mysite.com/a")) // LIKE's _ wildcard would match this
+  }
 }

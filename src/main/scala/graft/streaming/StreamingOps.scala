@@ -65,4 +65,72 @@ object StreamingOps {
           }
       }
   }
+
+  case class SigIn(docId: Long, sig: Seq[Long])
+  case class DupHit(docId: Long, matchId: Long, band: Int, estJaccard: Double)
+  /** Per-(band,bucket) state: the `cap` most recent member signatures,
+    * parallel id/sig lists (encoder-friendly), newest first. */
+  case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+
+  /** Streaming NEAR-dup gate — the streaming twin of the batch
+    * delta-vs-corpus minhash dedup (`Dedup.minhashDeltaPairs`): each
+    * arriving document's minhash signature (computed upstream with
+    * `Dedup.minhashSignature`, a map) is banded; per (band, bucket) the
+    * state store keeps the `cap` most recent member signatures, and a new
+    * arrival emits a `DupHit` against every stored member whose
+    * signature-agreement estimate reaches `minEstJaccard` — so a
+    * continuously-fed pipeline flags "this page is a near-copy of one we
+    * already took" at ingest time, before the batch dedup ever runs.
+    *
+    * Emission semantics: a pair that collides in k bands emits once per
+    * colliding band (the band column disambiguates); dedup downstream with
+    * `dropDuplicates("docId", "matchId")` per micro-batch or a
+    * watermarked variant across batches. Within a micro-batch, arrivals
+    * process in docId order, so replays emit identically.
+    *
+    * State bound: `cap` signatures x numHashes longs per live bucket —
+    * the hot-bucket cap of the batch ops (capBuckets) expressed as FIFO
+    * recency: a boilerplate bucket holds its `cap` newest members, older
+    * ones stop matching (they are already in the batch store, which
+    * remains authoritative). The groupByKey shuffles narrow
+    * (band, bucket, id, sig) rows — the exact banded-candidate exchange
+    * shape of the batch path. */
+  def nearDupStream(docs: Dataset[SigIn], numHashes: Int = 64,
+      bands: Int = 16, minEstJaccard: Double = 0.5,
+      cap: Int = 64): Dataset[DupHit] = {
+    import docs.sparkSession.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    val banded = docs.flatMap { d =>
+      (0 until bands).iterator.map { b =>
+        val bucket = d.sig.slice(b * rpb, (b + 1) * rpb)
+          .foldLeft(1125899906842597L)((acc, h) => acc * 31 + h)
+        (b, bucket, d.docId, d.sig)
+      }
+    }
+    banded.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketState, DupHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long])],
+            state: GroupState[BucketState]) =>
+          var ids = state.getOption.map(_.ids.toList).getOrElse(Nil)
+          var sigs = state.getOption.map(_.sigs.toList).getOrElse(Nil)
+          val hits = scala.collection.mutable.ArrayBuffer.empty[DupHit]
+          // docId order: replays of a micro-batch emit identical hits
+          rows.toArray.sortBy(_._3).foreach { case (band, _, id, sig) =>
+            ids.iterator.zip(sigs.iterator).foreach { case (mid, msig) =>
+              if (mid != id) {
+                val agree = sig.iterator.zip(msig.iterator)
+                  .count { case (a, b) => a == b }
+                val est = agree.toDouble / numHashes
+                if (est >= minEstJaccard) hits += DupHit(id, mid, band, est)
+              }
+            }
+            ids = (id :: ids).take(cap)
+            sigs = (sig :: sigs).take(cap)
+          }
+          state.update(BucketState(ids, sigs))
+          hits.iterator
+      }
+  }
 }

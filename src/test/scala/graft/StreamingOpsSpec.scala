@@ -69,3 +69,53 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+class NearDupStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+  import graft.streaming.StreamingOps.{SigIn, DupHit}
+
+  private def sigOf(id: Long, text: String) =
+    SigIn(id, graft.ops.Dedup.minhashSignature(text, 3, 64).toSeq)
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private val near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+  private val other = "completely different content about apache spark distributed joins"
+
+  test("nearDupStream: in-batch and cross-batch near-dups flagged at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SigIn]
+    val q = StreamingOps.nearDupStream(in.toDS(), minEstJaccard = 0.4)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(sigOf(1, base), sigOf(2, near), sigOf(3, other))
+      q.processAllAvailable()
+      in.addData(sigOf(4, base)) // exact dup of 1, a micro-batch later
+      q.processAllAvailable()
+      val rows = spark.table("neardup_out").as[DupHit].collect()
+      val hits = rows.map(h => (h.docId, h.matchId)).distinct.toSet
+      assert(hits.contains((2L, 1L))) // in-batch near-dup
+      assert(hits.contains((4L, 1L)) && hits.contains((4L, 2L))) // cross-batch
+      assert(!hits.exists(p => p._1 == 3L || p._2 == 3L))
+      assert(rows.filter(h => h.docId == 4L && h.matchId == 1L)
+        .forall(_.estJaccard == 1.0)) // identical signatures agree fully
+    } finally q.stop()
+  }
+
+  test("nearDupStream: bucket cap evicts oldest members (FIFO recency)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SigIn]
+    val q = StreamingOps.nearDupStream(in.toDS(), minEstJaccard = 0.4, cap = 1)
+      .writeStream.format("memory").queryName("neardup_cap_out")
+      .outputMode("append").start()
+    try {
+      in.addData(sigOf(1, base)); q.processAllAvailable()
+      in.addData(sigOf(2, base)); q.processAllAvailable()
+      in.addData(sigOf(3, base)); q.processAllAvailable()
+      val hits = spark.table("neardup_cap_out").as[DupHit].collect()
+        .map(h => (h.docId, h.matchId)).distinct.toSet
+      assert(hits == Set((2L, 1L), (3L, 2L))) // 1 was evicted before 3 arrived
+    } finally q.stop()
+  }
+}

@@ -48,9 +48,13 @@ object Sitemap {
     * is accepted by the seed write path).
     *
     * Input: `sitemaps(xml)` fetched sitemap bodies, `sources(prefix)` the
-    * registered source prefixes. Output one row per DISTINCT discovered
-    * loc: `(loc, pref, eligible)` — pref = the matching source prefix
-    * (smallest on multi-match, for determinism; null when none).
+    * registered ACTIVE source prefixes (pass the live catalog — blank/
+    * whitespace prefixes are ignored here, mirroring seedUrl's
+    * length-gate, but soft-delete filtering is the caller's job). Output
+    * one row per DISTINCT discovered loc: `(loc, pref, eligible)` — pref
+    * = the matching source prefix (smallest on multi-match, for
+    * determinism; null when none). Matching is case-insensitive, like the
+    * write path's gate.
     *
     * Scale shape: locs explode narrow and dedup by value (one shuffle);
     * the source catalog is small by construction (a curated registry) and
@@ -62,9 +66,11 @@ object Sitemap {
       .filter(col("loc").startsWith("http://") ||
         col("loc").startsWith("https://"))
     // literal containment (strings.Contains semantics) — LIKE would treat
-    // '_'/'%' inside a registered prefix as wildcards
-    locs.join(broadcast(sources.select(col("prefix"))),
-        expr("contains(loc, prefix)"), "left")
+    // '_'/'%' inside a registered prefix as wildcards; case-insensitive
+    // and blank-guarded to match seedUrl's acceptance rule exactly
+    locs.join(broadcast(sources.select(col("prefix"))
+          .filter(length(trim(col("prefix"))) > 0)),
+        expr("contains(lower(loc), lower(prefix))"), "left")
       .groupBy("loc")
       .agg(min(col("prefix")).as("pref"))
       .withColumn("eligible", col("pref").isNotNull)

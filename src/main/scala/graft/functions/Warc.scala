@@ -128,7 +128,9 @@ object Warc {
     * becomes a full `response` record; every later capture of the same
     * bytes becomes a `revisit` record pointing at it. Input
     * `(url, date_iso, body)`; output `(url, date_iso, record_type, record)`
-    * — one row per input capture.
+    * — one row per DISTINCT capture (url, date_iso, payload):
+    * byte-identical re-reads of the same capture collapse to one row, so
+    * the output can be smaller than the input.
     *
     * Scale shape: ONE digest-keyed shuffle serves both the first-capture
     * election and the pointer fields (rank + first-struct over the same

@@ -466,27 +466,33 @@ object Dedup {
 
   /** Keep-BEST-per-cluster dedup — the production keep rule: given the
     * near-dup pair list and a per-doc quality score (classifier margin,
-    * length, recency — any LONG where higher is better), each duplicate
+    * length, recency — any ORDERABLE type, kept as-is: a double margin in
+    * [0,1) is compared as a double, never truncated), each duplicate
     * cluster keeps its highest-scoring member instead of [[componentDedup]]'s
     * min-id (min-id systematically keeps whichever copy was crawled first,
     * which for syndicated content is often the scraper, not the origin).
     * Ties break to the smallest doc_id; docs missing a score rank below
     * every scored doc (an unscored winner reports keep_score null, never
-    * the internal sentinel). Output (component_id, keep_id, keep_score,
-    * cluster_size) — one row per cluster. One extra id-keyed join + the
-    * same min-struct aggregation shape as the id rule. */
-  def componentDedupBy(pairs: DataFrame, scores: DataFrame): DataFrame =
+    * an internal sentinel). Output (component_id, keep_id, keep_score,
+    * cluster_size) — one row per cluster, keep_score in the input score
+    * type. One extra id-keyed join + the same min-struct aggregation
+    * shape as the id rule. */
+  def componentDedupBy(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    val scoreType = scores.schema("score").dataType
     connectedComponents(pairs)
-      .join(scores.select(col("doc_id"), col("score").cast("long").as("score")),
-        Seq("doc_id"), "left")
+      .join(scores.select(col("doc_id"), col("score")), Seq("doc_id"), "left")
       .groupBy("component_id")
+      // `scored` leads the struct order, so the 0-sentinel never decides
+      // a comparison: scored rows always outrank unscored, and unscored
+      // rows (all sentinel-equal) fall through to the id tie-break
       .agg(max(struct(col("score").isNotNull.as("scored"),
-          coalesce(col("score"), lit(Long.MinValue)).as("s"),
+          coalesce(col("score"), lit(0).cast(scoreType)).as("s"),
           (-col("doc_id")).as("negid"))).as("w"),
         count(lit(1)).as("cluster_size"))
       .select(col("component_id"), (-col("w.negid")).as("keep_id"),
         when(col("w.scored"), col("w.s")).as("keep_score"),
         col("cluster_size"))
+  }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", arXiv:2303.09540):
@@ -551,12 +557,17 @@ object Dedup {
 
     // within-cell candidate pairs on narrow (cell, rep_id) rows; over-wide
     // cells truncate to their cap hash-smallest reps (constant rank bound →
-    // WindowGroupLimit prunes below the exchange)
-    val wCell = Window.partitionBy("cell")
-      .orderBy(xxhash64(lit("semdedup-cap"), col("rep_id")), col("rep_id"))
-    val cells = assigned.select(col("cell"), col("rep_id"))
-      .withColumn("crank_", row_number().over(wCell))
-      .filter(col("crank_") <= maxCellWidth).drop("crank_")
+    // WindowGroupLimit prunes below the exchange); cap <= 0 = uncapped,
+    // the capBuckets convention this parameter follows
+    val cells0 = assigned.select(col("cell"), col("rep_id"))
+    val cells =
+      if (maxCellWidth <= 0) cells0
+      else {
+        val wCell = Window.partitionBy("cell")
+          .orderBy(xxhash64(lit("semdedup-cap"), col("rep_id")), col("rep_id"))
+        cells0.withColumn("crank_", row_number().over(wCell))
+          .filter(col("crank_") <= maxCellWidth).drop("crank_")
+      }
     val candPairs = cells.alias("a").join(cells.alias("b"),
         col("a.cell") === col("b.cell") && col("a.rep_id") < col("b.rep_id"))
       .select(col("a.rep_id").as("ra"), col("b.rep_id").as("rb"))

@@ -66,7 +66,9 @@ object StreamingOps {
       }
   }
 
-  case class SigIn(docId: Long, sig: Seq[Long])
+  case class SigIn(docId: Long, ts: java.sql.Timestamp, sig: Seq[Long])
+  case class BandRow(band: Int, bucket: Long, docId: Long,
+    ts: java.sql.Timestamp, sig: Seq[Long])
   case class DupHit(docId: Long, matchId: Long, band: Int, estJaccard: Double)
   /** Per-(band,bucket) state: the `cap` most recent member signatures,
     * parallel id/sig lists (encoder-friendly), newest first. */
@@ -88,49 +90,67 @@ object StreamingOps {
     * watermarked variant across batches. Within a micro-batch, arrivals
     * process in docId order, so replays emit identically.
     *
-    * State bound: `cap` signatures x numHashes longs per live bucket —
-    * the hot-bucket cap of the batch ops (capBuckets) expressed as FIFO
-    * recency: a boilerplate bucket holds its `cap` newest members, older
-    * ones stop matching (they are already in the batch store, which
-    * remains authoritative). The groupByKey shuffles narrow
-    * (band, bucket, id, sig) rows — the exact banded-candidate exchange
-    * shape of the batch path. */
+    * State bound — BOTH axes: bucket WIDTH is capped at `cap` signatures
+    * (FIFO recency — a boilerplate bucket holds its `cap` newest members;
+    * older ones stop matching, the batch store remains authoritative) and
+    * bucket COUNT is bounded by the EVENT-TIME TTL: a bucket whose newest
+    * member is `stateTtlMs` behind the watermark is evicted via
+    * event-time timeout (data-driven, so replays evict identically —
+    * a processing-time timer would also keep the micro-batch engine
+    * running empty batches forever). The groupByKey shuffles narrow
+    * (band, bucket, id, ts, sig) rows — the exact banded-candidate
+    * exchange shape of the batch path. */
   def nearDupStream(docs: Dataset[SigIn], numHashes: Int = 64,
-      bands: Int = 16, minEstJaccard: Double = 0.5,
-      cap: Int = 64): Dataset[DupHit] = {
+      bands: Int = 16, minEstJaccard: Double = 0.5, cap: Int = 64,
+      watermarkDelay: String = "10 minutes",
+      stateTtlMs: Long = 3600L * 1000L): Dataset[DupHit] = {
     import docs.sparkSession.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
-    val banded = docs.flatMap { d =>
+    val banded: Dataset[BandRow] = docs.flatMap { d =>
       (0 until bands).iterator.map { b =>
         val bucket = d.sig.slice(b * rpb, (b + 1) * rpb)
           .foldLeft(1125899906842597L)((acc, h) => acc * 31 + h)
-        (b, bucket, d.docId, d.sig)
+        BandRow(b, bucket, d.docId, d.ts, d.sig)
       }
     }
-    banded.groupByKey(r => (r._1, r._2))
+    banded.withWatermark("ts", watermarkDelay)
+      .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState[BucketState, DupHit](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: (Int, Long), rows: Iterator[(Int, Long, Long, Seq[Long])],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), rows: Iterator[BandRow],
             state: GroupState[BucketState]) =>
-          var ids = state.getOption.map(_.ids.toList).getOrElse(Nil)
-          var sigs = state.getOption.map(_.sigs.toList).getOrElse(Nil)
-          val hits = scala.collection.mutable.ArrayBuffer.empty[DupHit]
-          // docId order: replays of a micro-batch emit identical hits
-          rows.toArray.sortBy(_._3).foreach { case (band, _, id, sig) =>
-            ids.iterator.zip(sigs.iterator).foreach { case (mid, msig) =>
-              if (mid != id) {
-                val agree = sig.iterator.zip(msig.iterator)
-                  .count { case (a, b) => a == b }
-                val est = agree.toDouble / numHashes
-                if (est >= minEstJaccard) hits += DupHit(id, mid, band, est)
+          if (state.hasTimedOut) { // idle past the TTL: free the bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            var ids = state.getOption.map(_.ids.toList).getOrElse(Nil)
+            var sigs = state.getOption.map(_.sigs.toList).getOrElse(Nil)
+            val hits = scala.collection.mutable.ArrayBuffer.empty[DupHit]
+            var maxTs = Long.MinValue
+            // docId order: replays of a micro-batch emit identical hits
+            rows.toArray.sortBy(_.docId).foreach { r =>
+              ids.iterator.zip(sigs.iterator).foreach { case (mid, msig) =>
+                if (mid != r.docId) {
+                  val agree = r.sig.iterator.zip(msig.iterator)
+                    .count { case (a, b) => a == b }
+                  val est = agree.toDouble / numHashes
+                  if (est >= minEstJaccard)
+                    hits += DupHit(r.docId, mid, r.band, est)
+                }
               }
+              ids = (r.docId :: ids).take(cap)
+              sigs = (r.sig :: sigs).take(cap)
+              maxTs = math.max(maxTs, r.ts.getTime)
             }
-            ids = (id :: ids).take(cap)
-            sigs = (sig :: sigs).take(cap)
+            state.update(BucketState(ids, sigs))
+            // evict when the watermark passes newest-member + TTL; the
+            // max() keeps the stamp legal when this group's rows are
+            // already far behind the global watermark
+            state.setTimeoutTimestamp(math.max(maxTs + stateTtlMs,
+              state.getCurrentWatermarkMs() + 1))
+            hits.iterator
           }
-          state.update(BucketState(ids, sigs))
-          hits.iterator
       }
   }
 }

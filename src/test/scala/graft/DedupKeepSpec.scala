@@ -26,6 +26,14 @@ class DedupKeepSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getLong(1) == 7L)
   }
 
+  test("componentDedupBy: fractional scores compare as doubles, untruncated") {
+    val pairs = Seq((3L, 7L)).toDF("a_id", "b_id")
+    val scores = Seq((3L, 0.15), (7L, 0.91)).toDF("doc_id", "score")
+    val out = Dedup.componentDedupBy(pairs, scores).head()
+    assert(out.getLong(1) == 7L) // 0.91 beats 0.15 — a long cast would tie
+    assert(out.getDouble(2) == 0.91)
+  }
+
   test("componentDedupBy: fully unscored cluster reports null, not sentinel") {
     val pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
     val scores = Seq((99L, 1L)).toDF("doc_id", "score") // neither member

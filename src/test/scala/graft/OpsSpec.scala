@@ -989,4 +989,15 @@ class SeedCandidatesSpec extends AnyFunSuite {
     assert(out("http://my_site.com/b"))
     assert(!out("http://mysite.com/a")) // LIKE's _ wildcard would match this
   }
+
+  test("blank prefixes never match; matching is case-insensitive like seedUrl") {
+    val maps = Seq("<urlset><url><loc>http://A.COM/x</loc></url>" +
+      "<url><loc>http://other.net/y</loc></url></urlset>").toDF("xml")
+    val sources = Seq("", "  ", "a.com").toDF("prefix")
+    val out = Sitemap.seedCandidates(maps, sources).collect()
+      .map(r => r.getString(0) -> ((Option(r.getString(1)), r.getBoolean(2))))
+      .toMap
+    assert(out("http://A.COM/x") == ((Some("a.com"), true)))
+    assert(out("http://other.net/y") == ((None, false))) // '' must not match
+  }
 }

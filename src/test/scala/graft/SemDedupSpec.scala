@@ -81,6 +81,14 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out.values.count(_ == true) >= 2)
   }
 
+  test("maxCellWidth <= 0 means uncapped (capBuckets convention), not empty") {
+    val vs = Seq(1L -> deg(0), 2L -> deg(0), 3L -> deg(40))
+    val out = Dedup.semDedup(vs.toDF("vec_id", "embedding"), dim = 4,
+        minCosine = 0.99, nlist = 1, maxCellWidth = 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
   test("no embedding array crosses the cell-candidate exchange (plan)") {
     val vs = (0L until 40L).map(i => i -> deg(i * 3.0))
     val out = Dedup.semDedup(vs.toDF("vec_id", "embedding"),

@@ -75,8 +75,9 @@ class NearDupStreamSpec extends AnyFunSuite {
   import spark.implicits._
   import graft.streaming.StreamingOps.{SigIn, DupHit}
 
-  private def sigOf(id: Long, text: String) =
-    SigIn(id, graft.ops.Dedup.minhashSignature(text, 3, 64).toSeq)
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+  private def sigOf(id: Long, t: Long, text: String) =
+    SigIn(id, ts(t), graft.ops.Dedup.minhashSignature(text, 3, 64).toSeq)
 
   private val base = "the quick brown fox jumps over the lazy dog again and again today"
   private val near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
@@ -89,9 +90,9 @@ class NearDupStreamSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("neardup_out")
       .outputMode("append").start()
     try {
-      in.addData(sigOf(1, base), sigOf(2, near), sigOf(3, other))
+      in.addData(sigOf(1, 1, base), sigOf(2, 2, near), sigOf(3, 3, other))
       q.processAllAvailable()
-      in.addData(sigOf(4, base)) // exact dup of 1, a micro-batch later
+      in.addData(sigOf(4, 4, base)) // exact dup of 1, a micro-batch later
       q.processAllAvailable()
       val rows = spark.table("neardup_out").as[DupHit].collect()
       val hits = rows.map(h => (h.docId, h.matchId)).distinct.toSet
@@ -110,12 +111,36 @@ class NearDupStreamSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("neardup_cap_out")
       .outputMode("append").start()
     try {
-      in.addData(sigOf(1, base)); q.processAllAvailable()
-      in.addData(sigOf(2, base)); q.processAllAvailable()
-      in.addData(sigOf(3, base)); q.processAllAvailable()
+      in.addData(sigOf(1, 1, base)); q.processAllAvailable()
+      in.addData(sigOf(2, 2, base)); q.processAllAvailable()
+      in.addData(sigOf(3, 3, base)); q.processAllAvailable()
       val hits = spark.table("neardup_cap_out").as[DupHit].collect()
         .map(h => (h.docId, h.matchId)).distinct.toSet
       assert(hits == Set((2L, 1L), (3L, 2L))) // 1 was evicted before 3 arrived
+    } finally q.stop()
+  }
+
+  test("nearDupStream: event-time TTL evicts idle buckets (bounded state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SigIn]
+    val q = StreamingOps.nearDupStream(in.toDS(), minEstJaccard = 0.4,
+        watermarkDelay = "0 seconds", stateTtlMs = 1000L)
+      .writeStream.format("memory").queryName("neardup_ttl_out")
+      .outputMode("append").start()
+    try {
+      in.addData(sigOf(1, 1, base)); q.processAllAvailable()
+      // two watermark-advancing batches: the first moves the watermark far
+      // past doc 1's bucket TTL, the second lets its timer fire and remove
+      // the bucket before any matching row arrives
+      in.addData(sigOf(8, 100, other)); q.processAllAvailable()
+      in.addData(sigOf(9, 101, other)); q.processAllAvailable()
+      in.addData(sigOf(5, 102, base)); q.processAllAvailable()
+      val hits = spark.table("neardup_ttl_out").as[DupHit].collect()
+        .map(h => (h.docId, h.matchId)).toSet
+      assert(!hits.contains((5L, 1L)), s"evicted bucket still matched: $hits")
+      // sanity: the op still matches when state is live (8~9 are dups of
+      // each other within the TTL window)
+      assert(hits.contains((9L, 8L)))
     } finally q.stop()
   }
 }

@@ -7,12 +7,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (SURVEY §2.8) — the pieces a long-running deployment needs when link
   * discovery arrives as an unbounded stream instead of per-wave batches.
   *
-  * Both operators keep their state BOUNDED and distributed: the dedup's
-  * key state is evicted by the event-time watermark, and the sequencer
-  * holds one long per host, partitioned by the group key across executors
-  * (the same host-hash shuffle the batch scheduler uses). Nothing here
-  * collects to the driver; state lives in the streaming state store with
-  * checkpointed exactly-once semantics.
+  * Every operator keeps its state BOUNDED and distributed: the dedup's
+  * key state is evicted by the event-time watermark, the sequencer holds
+  * one long per host, and the near-dup gate caps bucket width (FIFO
+  * recency) and evicts idle buckets by event-time TTL — all partitioned
+  * by the group key across executors (the same host-/bucket-hash shuffle
+  * the batch ops use). Nothing here collects to the driver; state lives
+  * in the streaming state store with checkpointed exactly-once semantics.
   */
 object StreamingOps {
 

@@ -1136,6 +1136,18 @@ object SparkEntry {
         .toDF("host", "robots_txt")
       graft.ops.HostAnalysis.robotsAudit(pages, robots, agent = "GraftBot")
     }),
+    // G6: anchor-text index — 10 hub targets x 3 planted anchor texts;
+    // k=2 prunes each hub's least-frequent text; counts and the
+    // (n desc, text asc) tie order are pure doc_id arithmetic
+    "g6_anchor_index" -> ((s, d) => {
+      val target = concat(lit("http://hub"), (col("doc_id") % 10).cast("string"),
+        lit(".example.com/"))
+      val text = concat(lit("anchor"), (col("doc_id") % 3).cast("string"))
+      graft.ops.Graph.anchorIndex(
+        t(s, d, "documents").select(target.as("target"),
+          text.as("anchor_text")),
+        k = 2)
+    }),
     // H6: robots-policy drift — sites 0-24 RETIRE their /private rule while
     // sites 25-49 (previously rule-less) ADD a /pub one: /pub pages on
     // high sites become newly disallowed, /private pages on low sites are
@@ -2132,6 +2144,12 @@ object SparkEntry {
         | NOT (doc_id % 4 = 0 AND doc_id % 50 < 25) AS allowed FROM documents""".stripMargin.replace("\n", "")),
     "d14_delta_dedup" ->
       "SELECT b.doc_id AS corpus_id, a.doc_id + 1000000 AS delta_id FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 WHERE a.doc_id % 4 = 0",
+    "g6_anchor_index" ->
+      """WITH a AS (SELECT concat('http://hub', CAST(doc_id % 10 AS VARCHAR), '.example.com/') AS target,
+        |   concat('anchor', CAST(doc_id % 3 AS VARCHAR)) AS anchor_text FROM documents),
+        | c AS (SELECT target, anchor_text, count(*) AS n FROM a GROUP BY 1, 2),
+        | r AS (SELECT c.*, row_number() OVER (PARTITION BY target ORDER BY n DESC, anchor_text) AS rank FROM c)
+        | SELECT target, anchor_text, n, CAST(rank AS INT) AS rank FROM r WHERE rank <= 2""".stripMargin.replace("\n", ""),
     "s12_sitemap_seed" ->
       ("""SELECT concat('http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/page/', CAST(doc_id AS VARCHAR)) AS loc,
         | CASE WHEN doc_id % 50 < 25 THEN concat('site', CAST(doc_id % 50 AS VARCHAR), '.example.com') END AS pref,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Link-graph analytics over the crawl's `links` table — the ranking and
   * reachability passes a crawler actually runs on its own edge list
@@ -16,6 +17,28 @@ import org.apache.spark.sql.functions._
   * collects a node or edge list to the driver.
   */
 object Graph {
+
+  /** Anchor-text index: for every link TARGET, the k most frequent anchor
+    * texts pointing at it across the corpus — the classic ranking /
+    * query-document feature ("what the web calls this page"), built from
+    * [[graft.functions.HtmlTok.extractAnchors]] output. Input
+    * `(target, anchor_text)` — one row per anchor occurrence; output
+    * `(target, anchor_text, n, rank)` with rank ≤ k, ties broken by
+    * anchor_text ascending so the index is identical at any parallelism.
+    *
+    * Scale shape: one (target, text) groupBy with map-side combine — the
+    * only corpus-sized shuffle — then a per-target rank with a CONSTANT
+    * bound, so WindowGroupLimit prunes each target's tail below the
+    * exchange: a mega-hub with 10^6 distinct anchor texts contributes k
+    * rows per input partition to the rank exchange, never its whole
+    * histogram. */
+  def anchorIndex(anchors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    anchors.groupBy("target", "anchor_text").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("target").orderBy(desc("n"), asc("anchor_text"))))
+      .filter(col("rank") <= k)
+  }
 
   /** Standard damped PageRank over directed edges (src, dst), double
     * precision. Dangling mass (rank parked on zero-out-degree nodes) is

@@ -227,3 +227,29 @@ class GraphSpec extends AnyFunSuite {
     assert(tall("n00") == (("n40", true)))
   }
 }
+
+class AnchorIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("anchorIndex: per-target top-k by count, text-ascending ties") {
+    val anchors = Seq(
+      ("t1", "home"), ("t1", "home"), ("t1", "docs"), ("t1", "docs"),
+      ("t1", "blog"), // t1: home=2, docs=2, blog=1 -> k=2 keeps docs,home
+      ("t2", "only")
+    ).toDF("target", "anchor_text")
+    val out = graft.ops.Graph.anchorIndex(anchors, k = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(out == Set(("t1", "docs", 2L, 1), ("t1", "home", 2L, 2),
+      ("t2", "only", 1L, 1)))
+  }
+
+  test("anchorIndex: constant rank bound engages WindowGroupLimit") {
+    val anchors = (0L until 100L)
+      .map(i => (s"t${i % 5}", s"a${i % 7}")).toDF("target", "anchor_text")
+    val plan = graft.ops.Graph.anchorIndex(anchors, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+}

@@ -1532,6 +1532,13 @@ object SparkEntry {
     "x1_hash_sample" -> ((s, d) =>
       Sampling.hashSample(t(s, d, "documents"), col("doc_id"), rate = 0.25,
         salt = "s1").select("doc_id", "source")),
+    // X8: deterministic 80/10/10 train/val/test split — one hash, adjacent
+    // intervals: disjoint + exhaustive by construction; the oracle
+    // recomputes both interval cuts from the same sha prefix
+    "x8_split" -> ((s, d) =>
+      Sampling.splitByHash(t(s, d, "documents").select(col("doc_id")),
+        col("doc_id"), fractions = Seq(0.8, 0.1),
+        labels = Seq("train", "val", "test"), salt = "sp")),
     // X2: weighted per-source mixing — srcN keeps at rate N*0.05 (src0
     // drops entirely); broadcast weights, map-side filter, no corpus shuffle
     "x2_weighted_mix" -> ((s, d) => {
@@ -1875,6 +1882,12 @@ object SparkEntry {
       "SELECT doc_id, source FROM documents WHERE substr(sha256(CAST(doc_id AS VARCHAR) || 's1'), 1, 8) < '40000000'",
     "x2_weighted_mix" ->
       "SELECT doc_id, source FROM documents WHERE substr(sha256(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8) < printf('%08x', LEAST(CAST(floor(CAST(substr(source, 4) AS INT) * CAST(0.05 AS DOUBLE) * 4294967296.0) AS BIGINT), 4294967295))",
+    "x8_split" ->
+      ("""SELECT doc_id,
+        | CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR) || 'sp'), 1, 8) < 'cccccccc' THEN 'train'
+        |      WHEN substr(sha256(CAST(doc_id AS VARCHAR) || 'sp'), 1, 8) < 'e6666666' THEN 'val'
+        |      ELSE 'test' END AS split
+        | FROM documents""".stripMargin.replace("\n", "")),
     "x3_source_quota" ->
       "SELECT doc_id, source FROM documents QUALIFY row_number() OVER (PARTITION BY source ORDER BY substr(sha256(CAST(doc_id AS VARCHAR) || 'q'), 1, 8), doc_id) <= 10",
     "x4_epoch_mix" ->

@@ -42,6 +42,30 @@ object Sampling {
       salt: String = ""): DataFrame =
     df.filter(prefix(key, salt) < lit(thresholdHex(rate)))
 
+  /** Deterministic N-way split (train/validation/test): assign each row a
+    * split label by which sub-interval of the 32-bit hash prefix it lands
+    * in — fractions [f1, f2, ...] cut [0, 2^32) at their running sums, the
+    * remainder (1 - Σf) falls to the LAST label. Splits are exactly
+    * disjoint and exhaustive BY CONSTRUCTION (one hash, adjacent
+    * intervals — two independent hashSample calls can never guarantee
+    * that), a pure function of (key, salt) — stable across reshards,
+    * resumes, and engines — and monotone: growing a fraction only moves
+    * rows in from its right neighbor. Map-only, label is one codegen'd
+    * string-range compare. `labels.size == fractions.size + 1`. */
+  def splitByHash(df: DataFrame, key: Column, fractions: Seq[Double],
+      labels: Seq[String], salt: String = ""): DataFrame = {
+    require(labels.size == fractions.size + 1,
+      s"need ${fractions.size + 1} labels for ${fractions.size} cuts")
+    require(fractions.forall(_ >= 0) && fractions.sum <= 1.0 + 1e-9,
+      s"fractions must be >= 0 and sum <= 1: $fractions")
+    val cuts = fractions.scanLeft(0.0)(_ + _).tail.map(thresholdHex)
+    val p = prefix(key, salt)
+    val label = cuts.zip(labels).foldRight(lit(labels.last): Column) {
+      case ((cut, lab), rest) => when(p < lit(cut), lit(lab)).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Deterministic fraction-per-group sampling (data mixing): `weights` is
     * a small (group, rate) table — broadcast — and each row keeps iff its
     * hash prefix clears its own group's threshold. The corpus side never

@@ -205,3 +205,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.count() == 3 * 400L) // remaining groups at the default 1 epoch
   }
 }
+
+class SplitByHashSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val rows = (0L until 4000L).toDF("id")
+
+  private def splits(fracs: Seq[Double], labels: Seq[String], parts: Int = 4) =
+    Sampling.splitByHash(rows.repartition(parts), col("id"), fracs, labels,
+        salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("splitByHash: disjoint, exhaustive, roughly proportional") {
+    val m = splits(Seq(0.8, 0.1), Seq("train", "val", "test"))
+    assert(m.size == 4000) // every row got exactly one label
+    val counts = m.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 3200) < 200, counts.toString)
+    assert(math.abs(counts("val") - 400) < 120, counts.toString)
+    assert(math.abs(counts("test") - 400) < 120, counts.toString)
+  }
+
+  test("splitByHash: growing a split only absorbs its right neighbor") {
+    val small = splits(Seq(0.5, 0.25), Seq("train", "val", "test"))
+    val big = splits(Seq(0.7, 0.05), Seq("train", "val", "test"))
+    // every row train at 0.5 stays train at 0.7; no test row jumps to train
+    // without passing val's moved boundary consistently
+    assert(small.collect { case (id, "train") => id }
+      .forall(id => big(id) == "train"))
+    assert(big.collect { case (id, "test") => id }
+      .forall(id => small(id) == "test"))
+  }
+
+  test("splitByHash: identical at any parallelism") {
+    assert(splits(Seq(0.8, 0.1), Seq("a", "b", "c"), parts = 1) ==
+      splits(Seq(0.8, 0.1), Seq("a", "b", "c"), parts = 16))
+  }
+}

@@ -58,7 +58,12 @@ object Sampling {
       s"need ${fractions.size + 1} labels for ${fractions.size} cuts")
     require(fractions.forall(_ >= 0) && fractions.sum <= 1.0 + 1e-9,
       s"fractions must be >= 0 and sum <= 1: $fractions")
-    val cuts = fractions.scanLeft(0.0)(_ + _).tail.map(thresholdHex)
+    // a cut at a running sum >= 1.0 must swallow EVERY prefix, including
+    // "ffffffff" (thresholdHex clamps to 2^32-1, which would leak that one
+    // prefix into the remainder label): "g" > any hex digit, so the
+    // comparison is unconditionally true and the remainder is exactly empty
+    val cuts = fractions.scanLeft(0.0)(_ + _).tail
+      .map(s => if (s >= 1.0) "g" else thresholdHex(s))
     val p = prefix(key, salt)
     val label = cuts.zip(labels).foldRight(lit(labels.last): Column) {
       case ((cut, lab), rest) => when(p < lit(cut), lit(lab)).otherwise(rest)

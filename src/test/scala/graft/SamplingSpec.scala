@@ -241,4 +241,10 @@ class SplitByHashSpec extends AnyFunSuite {
     assert(splits(Seq(0.8, 0.1), Seq("a", "b", "c"), parts = 1) ==
       splits(Seq(0.8, 0.1), Seq("a", "b", "c"), parts = 16))
   }
+
+  test("splitByHash: fractions summing to 1 leave the remainder truly empty") {
+    val m = splits(Seq(0.9, 0.1), Seq("train", "val", "test"))
+    assert(!m.values.exists(_ == "test")) // incl. a hash prefix of ffffffff
+    assert(m.size == 4000)
+  }
 }

@@ -897,6 +897,16 @@ object SparkEntry {
       Similarity.pqTopK(synthEmb(s, d), synthQueries(s, d), dim = 64, k = 10,
           m = 4, ksub = 16, rerank = 1024)
         .select(col("query_id"), col("vec_id"), col("rank"))),
+    // ANN5: the billion-vector composition — PQ codec UNDER the IVF coarse
+    // quantizer, ADC scanning only nprobe/nlist of the codes (row-count
+    // asserted in SimilaritySpec). Same oracle: on the circle fixture the
+    // trained cells are contiguous arcs, 3 adjacent cells cover every true
+    // top-10, and the class-sized rerank pool + exact re-rank recover the
+    // brute-force ranking exactly.
+    "ann5_ivfpq_topk" -> ((s, d) =>
+      Similarity.ivfpqTopK(synthEmb(s, d), synthQueries(s, d), dim = 64,
+          k = 10, nlist = 8, nprobe = 3, m = 4, ksub = 16, rerank = 1024)
+        .select(col("query_id"), col("vec_id"), col("rank"))),
 
     // A11: adaptive recrawl — change-rate estimation over a planted
     // observation history (4 visits per url: static / always-changing /
@@ -2026,6 +2036,7 @@ object SparkEntry {
     "ann2_lsh_topk" -> annOracleSql,
     "ann3_ivf_topk" -> annOracleSql,
     "ann4_pq_topk" -> annOracleSql,
+    "ann5_ivfpq_topk" -> annOracleSql,
     "t1_lang_dist" -> "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
     "t6_extract_text" ->
       "SELECT doc_id, concat('Doc ', CAST(doc_id AS VARCHAR), ' alpha ', CAST(doc_id AS VARCHAR), ' beta') AS page_text FROM documents WHERE doc_id < 200",
@@ -2167,6 +2178,11 @@ object SparkEntry {
       ("""SELECT concat('http://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/page/', CAST(doc_id AS VARCHAR)) AS loc,
         | CASE WHEN doc_id % 50 < 25 THEN concat('site', CAST(doc_id % 50 AS VARCHAR), '.example.com') END AS pref,
         | doc_id % 50 < 25 AS eligible
+        | FROM documents
+        | UNION ALL
+        | SELECT concat('ftp://site', CAST(doc_id % 50 AS VARCHAR), '.example.com/bad/', CAST(doc_id AS VARCHAR)) AS loc,
+        | CASE WHEN doc_id % 50 < 25 THEN concat('site', CAST(doc_id % 50 AS VARCHAR), '.example.com') END AS pref,
+        | FALSE AS eligible
         | FROM documents""".stripMargin.replace("\n", "")),
     "h6_robots_drift" ->
       ("""SELECT 'site' || CAST(doc_id % 50 AS VARCHAR) AS host,

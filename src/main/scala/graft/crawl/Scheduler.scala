@@ -178,10 +178,23 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   private def frontierRowsFor(url: String): DataFrame =
     frontierMorView(Some(url))
 
-  /** Spark-side xxhash64 bucket of one url, evaluated driver-side (one
-    * 1-row local job; used only by the point-lookup admin APIs). */
-  private def urlBucketOf(url: String): Int =
-    spark.range(1).select(bucketCol(lit(url))).head().getInt(0)
+  /** xxhash64 bucket of one url, computed driver-side by EVALUATING the
+    * same Catalyst expression `bucketCol` builds (XxHash64 seed 42 +
+    * floor-mod) — no Spark job. The old spelling ran a 1-row job per
+    * admin point-lookup, which put a full scheduler round-trip in the
+    * seedUrl/markUncrawlable hot path; expression eval is identical by
+    * construction (it IS the executor-side code path) and parity is
+    * additionally pinned by MutationsSpec/ApiCrawlSpec reading back
+    * through the bucket-pruned views. */
+  private def urlBucketOf(url: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64, Cast}
+    import org.apache.spark.sql.types.IntegerType
+    val h = XxHash64(Seq(Literal.create(url,
+      org.apache.spark.sql.types.StringType)), 42L)
+    val b = Cast(Pmod(h, Literal.create(cfg.urlBuckets.toLong,
+      org.apache.spark.sql.types.LongType)), IntegerType)
+    b.eval(null).asInstanceOf[Int]
+  }
 
   /** Frontier transition priorities within one wave: a seed can be taken in
     * its own wave; a taken HEAD can be blocked; an eviction wins over all. */

@@ -51,10 +51,13 @@ object Sitemap {
     * registered ACTIVE source prefixes (pass the live catalog — blank/
     * whitespace prefixes are ignored here, mirroring seedUrl's
     * length-gate, but soft-delete filtering is the caller's job). Output
-    * one row per DISTINCT discovered loc: `(loc, pref, eligible)` — pref
-    * = the matching source prefix (smallest on multi-match, for
-    * determinism; null when none). Matching is case-insensitive, like the
-    * write path's gate.
+    * one row per DISTINCT discovered loc — including scheme-rejected locs
+    * (ftp:, mailto:, …), which surface with `eligible = false` so a
+    * discovered-but-ineligible audit sees the full discovery set:
+    * `(loc, pref, eligible)` — pref = the matching source prefix
+    * (smallest on multi-match, for determinism; null when none); eligible
+    * requires BOTH a fetchable scheme and a prefix match. Matching is
+    * case-insensitive, like the write path's gate.
     *
     * Scale shape: locs explode narrow and dedup by value (one shuffle);
     * the source catalog is small by construction (a curated registry) and
@@ -63,7 +66,10 @@ object Sitemap {
   def seedCandidates(sitemaps: DataFrame, sources: DataFrame): DataFrame = {
     val locs = sitemaps
       .select(explode(sitemapLocsCol(col("xml"))).as("loc")).distinct()
-      .filter(col("loc").startsWith("http://") ||
+      // the scheme test lives in the ELIGIBILITY expression, not a filter:
+      // scheme-rejected locs must still surface (eligible=false) so the
+      // output is truly one row per distinct discovered loc
+      .withColumn("_scheme_ok", col("loc").startsWith("http://") ||
         col("loc").startsWith("https://"))
     // literal containment (strings.Contains semantics) — LIKE would treat
     // '_'/'%' inside a registered prefix as wildcards; case-insensitive
@@ -71,8 +77,9 @@ object Sitemap {
     locs.join(broadcast(sources.select(col("prefix"))
           .filter(length(trim(col("prefix"))) > 0)),
         expr("contains(lower(loc), lower(prefix))"), "left")
-      .groupBy("loc")
+      .groupBy("loc", "_scheme_ok")
       .agg(min(col("prefix")).as("pref"))
-      .withColumn("eligible", col("pref").isNotNull)
+      .select(col("loc"), col("pref"),
+        (col("_scheme_ok") && col("pref").isNotNull).as("eligible"))
   }
 }

@@ -61,9 +61,14 @@ object Sampling {
     // a cut at a running sum >= 1.0 must swallow EVERY prefix, including
     // "ffffffff" (thresholdHex clamps to 2^32-1, which would leak that one
     // prefix into the remainder label): "g" > any hex digit, so the
-    // comparison is unconditionally true and the remainder is exactly empty
+    // comparison is unconditionally true and the remainder is exactly
+    // empty. The epsilon mirrors the sum <= 1.0 + 1e-9 require above:
+    // float addition can leave a nominally-full running sum just below 1.0
+    // (0.3+0.3+0.4 == 0.9999999999999999), and without it that final cut
+    // would stay at "ffffffff" and leak the single "ffffffff" prefix into
+    // the remainder label the caller expects to be empty
     val cuts = fractions.scanLeft(0.0)(_ + _).tail
-      .map(s => if (s >= 1.0) "g" else thresholdHex(s))
+      .map(s => if (s >= 1.0 - 1e-9) "g" else thresholdHex(s))
     val p = prefix(key, salt)
     val label = cuts.zip(labels).foldRight(lit(labels.last): Column) {
       case ((cut, lab), rest) => when(p < lit(cut), lit(lab)).otherwise(rest)

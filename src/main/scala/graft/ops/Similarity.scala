@@ -222,15 +222,10 @@ object Similarity {
     centroids
   }
 
-  def ivfTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
-      nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 4): DataFrame = {
-    val centroids = trainCentroids(emb, dim, nlist, lloydIters)
-
-    val indexed = emb.select(col("vec_id"),
-      assignUdf(centroids)(col("embedding")).getField("_1").as("cell"))
-
-    // per-query top-nprobe cells by centroid dot (queries are tiny)
-    val cellsUdf = udf { (vec: Array[Float]) =>
+  /** Per-query top-nprobe probe cells by centroid dot (queries are tiny;
+    * the centroid table rides the closure). Shared by IVF-flat and IVFPQ. */
+  private[ops] def probeCellsUdf(centroids: Array[Array[Double]], nprobe: Int) =
+    udf { (vec: Array[Float]) =>
       centroids.zipWithIndex.map { case (row, c) =>
         var dot = 0.0; var j = 0
         val n = math.min(row.length, vec.length)
@@ -238,13 +233,13 @@ object Similarity {
         (dot, c)
       }.sortBy { case (d, c) => (-d, c) }.take(nprobe).map(_._2)
     }
-    val qCells = queries
-      .select(col("query_id"), explode(cellsUdf(col("query_vec"))).as("cell"))
 
-    // each vector lives in exactly one cell and a query's probe cells are
-    // distinct, so candidates need no dedup
-    val candIds = indexed.join(broadcast(qCells), Seq("cell"))
-      .select(col("query_id"), col("vec_id"))
+  /** Exact cosine re-rank of an id-only candidate frame (query_id, vec_id):
+    * queries broadcast, vectors rejoin BY ID, top-k per query. The shared
+    * tail of every ANN variant — no array column ever crosses a candidate
+    * exchange because only ids arrive here. */
+  private[ops] def exactRerank(candIds: DataFrame, queries: DataFrame,
+      emb: DataFrame, k: Int): DataFrame = {
     val scored = candIds
       .join(broadcast(queries), Seq("query_id"))
       .join(emb, Seq("vec_id"))
@@ -253,6 +248,23 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "vec_id", "rank", "cosine")
+  }
+
+  def ivfTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 4): DataFrame = {
+    val centroids = trainCentroids(emb, dim, nlist, lloydIters)
+
+    val indexed = emb.select(col("vec_id"),
+      assignUdf(centroids)(col("embedding")).getField("_1").as("cell"))
+
+    val qCells = queries.select(col("query_id"),
+      explode(probeCellsUdf(centroids, nprobe)(col("query_vec"))).as("cell"))
+
+    // each vector lives in exactly one cell and a query's probe cells are
+    // distinct, so candidates need no dedup
+    val candIds = indexed.join(broadcast(qCells), Seq("cell"))
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(candIds, queries, emb, k)
   }
 
   /** Product-quantization ANN top-k (Jégou et al., "Product Quantization
@@ -282,25 +294,19 @@ object Similarity {
     *     here are exactly what that composition reuses.
     * Correctness: the exact re-rank makes emitted scores exact; `rerank`
     * bounds recall (ann4's gate asserts equality with brute force). */
-  def pqTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
-      m: Int = 4, ksub: Int = 16, lloydIters: Int = 8,
-      trainSample: Int = 4096, rerank: Int = 64): DataFrame = {
-    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+  /** PQ codebooks: deterministic bounded training sample (hash-ranked
+    * ids — the faiss practice; PQ training never scans the corpus) +
+    * per-subspace L2 Lloyd, all driver-side and bit-exact at any
+    * parallelism. Shared by PQ-flat and IVFPQ. */
+  private[ops] def trainPqCodebooks(emb: DataFrame, dim: Int, m: Int,
+      ksub: Int, lloydIters: Int, trainSample: Int): Array[Array[Array[Double]]] = {
     val dsub = dim / m
-
-    def unitize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
-    }
-    // 1. deterministic bounded training sample (hash-ranked ids)
     val sample: Array[Array[Double]] = emb
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(lit("pq-train"), col("vec_id")), col("vec_id"))
       .limit(trainSample).collect()
       .map(r => unitize(r.getSeq[Float](1).toArray.map(_.toDouble)))
-
-    // 2. per-subspace L2 Lloyd on the sample, driver-side and exact
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+    Array.tabulate(m) { s =>
       val subs = sample.map(_.slice(s * dsub, (s + 1) * dsub))
       var cents = subs.take(math.min(ksub, subs.length)).map(_.clone())
       for (_ <- 0 until lloydIters) {
@@ -325,31 +331,32 @@ object Similarity {
       }
       cents
     }
+  }
 
-    // 3. encode: nearest sub-centroid per subspace (map-only)
-    val encodeUdf = udf { (vec: Array[Float]) =>
-      val v = unitize(vec.map(_.toDouble))
-      Array.tabulate(m) { s =>
-        val cents = codebooks(s)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cents.length) {
-          var d2 = 0.0; var j = 0
-          while (j < dsub) {
-            val t = v(s * dsub + j) - cents(c)(j); d2 += t * t; j += 1
-          }
-          if (d2 < bestD) { bestD = d2; best = c }
-          c += 1
+  /** Map-only PQ encode: nearest sub-centroid per subspace. */
+  private[ops] def pqEncodeUdf(codebooks: Array[Array[Array[Double]]],
+      m: Int, dsub: Int) = udf { (vec: Array[Float]) =>
+    val v = unitize(vec.map(_.toDouble))
+    Array.tabulate(m) { s =>
+      val cents = codebooks(s)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d2 = 0.0; var j = 0
+        while (j < dsub) {
+          val t = v(s * dsub + j) - cents(c)(j); d2 += t * t; j += 1
         }
-        best
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
       }
+      best
     }
-    val codes = emb.select(col("vec_id"), encodeUdf(col("embedding")).as("codes"))
+  }
 
-    // 4. ADC: per-query LUT of partial dots (queries are tiny; LUTs ride
-    //    the closure). Approximate score = sum over subspaces of
-    //    lut(s)(code_s); top-`rerank` per query via a constant-bound rank
-    //    window; exact re-rank joins vectors by id only for survivors.
+  /** Per-query ADC lookup tables of sub-centroid partial dots (queries are
+    * tiny; the LUT map rides the closure) + the m-lookup scoring UDF. */
+  private[ops] def pqAdcUdf(queries: DataFrame,
+      codebooks: Array[Array[Array[Double]]], m: Int, dsub: Int) = {
     val qRows = queries.select(col("query_id"), col("query_vec")).collect()
     val luts: Map[Long, Array[Array[Double]]] = qRows.map { r =>
       val qv = unitize(r.getSeq[Float](1).toArray.map(_.toDouble))
@@ -362,12 +369,29 @@ object Similarity {
       }
       r.getLong(0) -> lut
     }.toMap
-    val adcUdf = udf { (qid: Long, cs: Seq[Int]) =>
+    udf { (qid: Long, cs: Seq[Int]) =>
       val lut = luts(qid)
       var s = 0; var acc = 0.0
       while (s < m) { acc += lut(s)(cs(s)); s += 1 }
       acc
     }
+  }
+
+  def pqTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      m: Int = 4, ksub: Int = 16, lloydIters: Int = 8,
+      trainSample: Int = 4096, rerank: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val codebooks = trainPqCodebooks(emb, dim, m, ksub, lloydIters, trainSample)
+    val codes = emb.select(col("vec_id"),
+      pqEncodeUdf(codebooks, m, dsub)(col("embedding")).as("codes"))
+
+    // ADC: approximate score = sum over subspaces of lut(s)(code_s);
+    // top-`rerank` per query via a constant-bound rank window; exact
+    // re-rank joins vectors by id only for survivors. NOTE: this FLAT scan
+    // visits all N codes per query — gate-scale only; the billion-vector
+    // deployment shape is [[ivfpqTopK]], which scans nprobe cells' codes.
+    val adcUdf = pqAdcUdf(queries, codebooks, m, dsub)
     val qIds = queries.select(col("query_id"))
     val approx = codes.crossJoin(broadcast(qIds))
       .select(col("query_id"), col("vec_id"),
@@ -375,13 +399,60 @@ object Similarity {
     val wa = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
     val cand = approx.withColumn("arn", row_number().over(wa))
       .filter(col("arn") <= rerank).select("query_id", "vec_id")
-    val scored = cand
-      .join(broadcast(queries), Seq("query_id"))
-      .join(emb, Seq("vec_id"))
+    exactRerank(cand, queries, emb, k)
+  }
+
+  /** IVFPQ ANN top-k — the PQ codec composed UNDER the IVF coarse
+    * quantizer (Jégou et al. 2011 §V, the billion-vector layout faiss
+    * ships as `IVFx,PQy`): the index holds (cell, vec_id, codes) — one
+    * coarse cell id and m sub-codes per vector — and a query ADC-scans
+    * ONLY the `nprobe` cells nearest its vector, so the scan cost is
+    * ~nprobe/nlist of the corpus (spec-asserted by row count) instead of
+    * pqTopK's all-N flat scan.
+    *
+    * Scale shape: both trainers are bounded (IVF seeds hash-ranked,
+    * Lloyd map-only; PQ trains driver-side on a hash-sample); the index
+    * build is ONE map pass emitting narrow rows (two ints + m bytes of
+    * codes); search broadcasts the per-query probe-cell list, scores
+    * candidates with m LUT lookups, keeps top-`rerank` through a
+    * constant-bound rank window (WindowGroupLimit prunes below the
+    * exchange), and re-ranks exactly BY ID — no raw vector crosses any
+    * candidate exchange. Cell-boundary float caveat as [[ivfTopK]]; the
+    * exact re-rank makes emitted scores exact and `rerank` bounds recall
+    * (ann5's gate asserts equality with brute force). */
+  def ivfpqTopK(emb: DataFrame, queries: DataFrame, dim: Int, k: Int,
+      nlist: Int = 8, nprobe: Int = 3, lloydIters: Int = 4,
+      m: Int = 4, ksub: Int = 16, pqIters: Int = 8,
+      trainSample: Int = 4096, rerank: Int = 64): DataFrame = {
+    val cand = ivfpqAdcScan(emb, queries, dim, nlist, nprobe, lloydIters,
+      m, ksub, pqIters, trainSample)
+    val wa = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
+    val pool = cand.withColumn("arn", row_number().over(wa))
+      .filter(col("arn") <= rerank).select("query_id", "vec_id")
+    exactRerank(pool, queries, emb, k)
+  }
+
+  /** The IVFPQ ADC candidate frame (query_id, vec_id, adc) BEFORE the
+    * rerank cut — exactly the rows the ADC stage scans. `private[graft]`
+    * so the gate spec can row-count it: |scan| ≈ nprobe/nlist · N · Q. */
+  private[graft] def ivfpqAdcScan(emb: DataFrame, queries: DataFrame,
+      dim: Int, nlist: Int, nprobe: Int, lloydIters: Int,
+      m: Int, ksub: Int, pqIters: Int, trainSample: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    val centroids = trainCentroids(emb, dim, nlist, lloydIters)
+    val codebooks = trainPqCodebooks(emb, dim, m, ksub, pqIters, trainSample)
+    // ONE map pass builds the whole index row: coarse cell + PQ codes
+    val indexed = emb.select(col("vec_id"),
+      assignUdf(centroids)(col("embedding")).getField("_1").as("cell"),
+      pqEncodeUdf(codebooks, m, dsub)(col("embedding")).as("codes"))
+    val qCells = queries.select(col("query_id"),
+      explode(probeCellsUdf(centroids, nprobe)(col("query_vec"))).as("cell"))
+    val adcUdf = pqAdcUdf(queries, codebooks, m, dsub)
+    // a vector lives in exactly one cell and probe cells are distinct →
+    // no candidate dedup; only probed cells' code rows are ever scored
+    indexed.join(broadcast(qCells), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
-        cosineCol(col("query_vec"), col("embedding")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "vec_id", "rank", "cosine")
+        adcUdf(col("query_id"), col("codes")).as("adc"))
   }
 }

@@ -359,9 +359,15 @@ object TextAnalysis {
     val remove = wins.join(dup, Seq("h"))
       .filter(!(col(idCol) === col("oid") && col("pos") === col("opos")))
       .groupBy(idCol).agg(collect_set(col("pos")).as("starts"))
+    // clean_text is UNIFORMLY whitespace-normalized (tokens rejoined with
+    // single spaces) — including docs with nothing removed. The rejoin is
+    // unavoidable on edited docs, and normalizing the untouched branch the
+    // same way means downstream structure-sensitive ops (paragraphDedup,
+    // mixedLanguageSignals) see one canonical form instead of a form that
+    // depends on whether a doc happened to be cut.
     base.join(remove, Seq(idCol), "left")
       .select(col(idCol),
-        when(col("starts").isNull, col(textCol)).otherwise {
+        when(col("starts").isNull, array_join(toks(col(textCol)), " ")).otherwise {
           val t = toks(col(textCol))
           val covered = array_distinct(flatten(transform(col("starts"),
             p => sequence(p, p + n - 1))))
@@ -612,19 +618,47 @@ object TextAnalysis {
     * The thresholds are two broadcast scalars — never a global ntile sort,
     * which would single-partition the corpus: every per-doc decision is a
     * map-side comparison, and the only shuffles are the token count
-    * aggregation and the term-dictionary join. The dictionary rank window
-    * partitions by nothing but runs over the VOCABULARY (10^6-ish rows at
-    * web scale, not corpus rows), which is the one acceptable global sort
-    * in this pipeline. */
+    * aggregation and the term-dictionary join.
+    *
+    * The dictionary rank itself is the classic global-enumeration trap: a
+    * raw web-crawl vocabulary (typos, ids, urls — no frequency floor here)
+    * is 10^8-10^9 distinct tokens, and `row_number() OVER (ORDER BY n
+    * DESC, term)` with no partition funnels all of it through ONE task. So
+    * the rank is decomposed exactly like [[Sampling.globalRowNumbers]] /
+    * `HostAnalysis.crawlBudget`: range-bucket the dictionary by a MONOTONE
+    * PREFIX of the sort key — (n, first two chars of term); UTF-8 byte
+    * order makes the char prefix order-consistent with full-term order —
+    * aggregate per-bucket counts, cumulative-sum them into per-bucket
+    * offsets (a window over BUCKET-COUNT rows, never vocabulary rows:
+    * distinct n values are O(sqrt(total tokens)) and only n values shared
+    * by many terms fan out across char buckets), broadcast the offsets
+    * back, and row_number WITHIN each (n, prefix) bucket. Rank values are
+    * bit-identical to the naive spelling (the oracle still uses plain
+    * row_number), but no vocabulary-sized partition-less WindowExec exists
+    * in the plan (spec-asserted in OpsSpec). */
   def rarityBuckets(docs: DataFrame, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col("doc_id"),
         explode(split(lower(col(textCol)), "\\W+")).as("term"))
       .filter(col("term") =!= "")
-    val dict = toks.groupBy("term").agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(desc("n"), asc("term"))).cast("long"))
+    // the dictionary feeds THREE consumers (bucket offsets, the rank join,
+    // the vocab scalar) — checkpoint the one narrow vocabulary-sized frame
+    // so the corpus explode+groupBy runs once, not per consumer (the
+    // crawlBudget/semDedup staged-frame rule; note this makes the call
+    // eager at the dictionary stage)
+    val counted = toks.groupBy("term").agg(count(lit(1)).as("n"))
+      .withColumn("_rb", substring(col("term"), 1, 2))
+      .localCheckpoint(true)
+    val offs = counted.groupBy("n", "_rb").agg(count(lit(1)).as("_rn"))
+      .withColumn("_roff", coalesce(
+        sum("_rn").over(Window.orderBy(desc("n"), asc("_rb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("n", "_rb", "_roff")
+    val dict = counted.join(broadcast(offs), Seq("n", "_rb"))
+      .withColumn("rank", (col("_roff") + row_number().over(
+        Window.partitionBy("n", "_rb").orderBy(asc("term")))).cast("long"))
+      .drop("_rb", "_roff")
     val vocab = dict.agg(count(lit(1)).as("vocab"))
     val perDoc = toks.join(dict.select("term", "rank"), Seq("term"))
       .groupBy("doc_id")

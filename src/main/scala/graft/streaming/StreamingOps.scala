@@ -72,8 +72,11 @@ object StreamingOps {
     ts: java.sql.Timestamp, sig: Seq[Long])
   case class DupHit(docId: Long, matchId: Long, band: Int, estJaccard: Double)
   /** Per-(band,bucket) state: the `cap` most recent member signatures,
-    * parallel id/sig lists (encoder-friendly), newest first. */
-  case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]])
+    * parallel id/sig lists (encoder-friendly), newest first, plus the
+    * RUNNING max member event-time — persisted so a late-but-in-watermark
+    * batch whose own rows are older than existing members can never rewind
+    * the eviction deadline below newest-member + TTL. */
+  case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]], maxTs: Long)
 
   /** Streaming NEAR-dup gate — the streaming twin of the batch
     * delta-vs-corpus minhash dedup (`Dedup.minhashDeltaPairs`): each
@@ -128,7 +131,10 @@ object StreamingOps {
             var ids = state.getOption.map(_.ids.toList).getOrElse(Nil)
             var sigs = state.getOption.map(_.sigs.toList).getOrElse(Nil)
             val hits = scala.collection.mutable.ArrayBuffer.empty[DupHit]
-            var maxTs = Long.MinValue
+            // seed from the PERSISTED max: a batch of late (in-watermark)
+            // rows all older than the stored members must not shrink the
+            // newest-member + TTL deadline
+            var maxTs = state.getOption.map(_.maxTs).getOrElse(Long.MinValue)
             // docId order: replays of a micro-batch emit identical hits
             rows.toArray.sortBy(_.docId).foreach { r =>
               ids.iterator.zip(sigs.iterator).foreach { case (mid, msig) =>
@@ -144,7 +150,7 @@ object StreamingOps {
               sigs = (r.sig :: sigs).take(cap)
               maxTs = math.max(maxTs, r.ts.getTime)
             }
-            state.update(BucketState(ids, sigs))
+            state.update(BucketState(ids, sigs, maxTs))
             // evict when the watermark passes newest-member + TTL; the
             // max() keeps the stamp legal when this group's rows are
             // already far behind the global watermark

@@ -354,6 +354,75 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  test("IVFPQ top-k matches brute force exactly on the circle fixture") {
+    def circle(id: Long, off: Double): Array[Float] = {
+      val theta = ((id % 97).toDouble + off) * math.Pi / 97
+      Array(math.cos(theta).toFloat, math.sin(theta).toFloat) ++ Array.fill(62)(0.0f)
+    }
+    val emb = (0L until 300L).map(i => (i, circle(i, 0.0))).toDF("vec_id", "embedding")
+    val q = (0L until 5L).map(i => (i, circle(i, 0.37))).toDF("query_id", "query_vec")
+    val truth = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val got = Similarity.ivfpqTopK(emb, q, dim = 64, k = 10, nlist = 8,
+        nprobe = 3, m = 4, ksub = 16, rerank = 128)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got == truth)
+  }
+
+  test("IVFPQ ADC stage scans only the probed cells' codes (~nprobe/nlist)") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(16)(Array.fill(32)(rnd.nextGaussian().toFloat))
+    val emb = (0L until 800L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, c.map(v => v + rnd.nextGaussian().toFloat * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val q = emb.limit(4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val scanned = graft.ops.Similarity.ivfpqAdcScan(emb, q, dim = 32,
+      nlist = 16, nprobe = 2, lloydIters = 4, m = 4, ksub = 8,
+      pqIters = 8, trainSample = 4096).count()
+    // flat PQ would score 4 x 800 = 3200 rows; the composition must score
+    // ~nprobe/nlist = 1/8 of that per query (slack 2x for uneven cells)
+    assert(scanned <= 2 * 800L * 4 * 2 / 16,
+      s"ADC scanned $scanned rows — not cell-bound")
+    assert(scanned > 0)
+  }
+
+  test("near-boundary vector: exact re-rank returns identical top-k at any parallelism") {
+    // The documented ivfTopK caveat: distributed Lloyd sums floats in
+    // shuffle order, so a vector sitting (near-)exactly on a cell boundary
+    // can flip cells between plans. The GUARANTEE is that when the probe
+    // set covers the flip candidates, the exact re-rank returns identical
+    // top-k regardless of which side the boundary vector landed on. Plant
+    // four well-separated arcs, one vector ON the 0/1 arc midpoint, a
+    // query between arcs 0 and 1 (so its top-2 probe cells are exactly
+    // the two cells the boundary vector can flip between), and assert
+    // identical, brute-force-equal top-k at 1 and 8 input partitions.
+    def vecAt(deg: Double): Array[Float] = {
+      val th = math.toRadians(deg)
+      Array(math.cos(th).toFloat, math.sin(th).toFloat) ++ Array.fill(6)(0.0f)
+    }
+    val rows = (0 until 4).flatMap { c =>
+      (0 until 12).map(j => ((c * 12 + j).toLong, vecAt(c * 30.0 + j * 0.2)))
+    } :+ (99L, vecAt(15.0 + 1e-7)) // epsilon off the exact 0/1 midpoint
+    val q = Seq((0L, vecAt(14.0))).toDF("query_id", "query_vec")
+    def run(parts: Int): Set[(Long, Long, Int)] =
+      Similarity.ivfTopK(rows.toDF("vec_id", "embedding").repartition(parts),
+          q, dim = 8, k = 5, nlist = 4, nprobe = 2)
+        .select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+    val r1 = run(1)
+    val r8 = run(8)
+    val truth = Similarity.bruteForceTopK(
+        rows.toDF("vec_id", "embedding"), q, k = 5)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(r1 == truth, s"parallelism-1 top-k diverges: $r1 vs $truth")
+    assert(r8 == truth, s"parallelism-8 top-k diverges: $r8 vs $truth")
+    // the boundary vector is cosine-nearest to the query — it must be in
+    // the answer, whichever cell it was assigned to
+    assert(truth.exists { case (_, vid, rank) => vid == 99L && rank == 1 })
+  }
+
   test("PQ codes table is narrow and deterministic at any parallelism") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 200L).map(i => (i, Array.fill(32)(rnd.nextGaussian().toFloat)))
@@ -561,6 +630,63 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
     assert(out(0L) == "head")
     assert(out(3L) == "tail")
+  }
+
+  test("rarity buckets: bucketed rank == naive global row_number; no vocab-wide partition-less window") {
+    // crafted vocabulary: tied counts spanning different 2-char prefixes,
+    // 1-char terms (prefix == whole term), multibyte terms, and same-prefix
+    // ties — every seam of the (n, first-2-chars) range-bucket decomposition
+    val docs = Seq(
+      (0L, "aa aa aa ab ab b über über zz th the the them a"),
+      (1L, "aa ab ac b a th the them zz über ü"),
+      (2L, "the the the them th zz zz a b ü")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.rarityBuckets(docs)
+    // exactness: recompute per-doc mean_rank_micro from a driver-side naive
+    // ranking (count desc, term asc) over the same tokenizer
+    val toks: Seq[(Long, String)] = Seq(
+      0L -> "aa aa aa ab ab b über über zz th the the them a",
+      1L -> "aa ab ac b a th the them zz über ü",
+      2L -> "the the the them th zz zz a b ü")
+      .flatMap { case (id, t) =>
+        t.toLowerCase.split("\\W+").filter(_.nonEmpty).map(id -> _) }
+    val rank = toks.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (term, n) => (-n, term) }
+      .zipWithIndex.map { case ((term, _), i) => term -> (i + 1L) }.toMap
+    val expected = toks.groupBy(_._1).map { case (id, ts) =>
+      val sum = ts.map(t => rank(t._2)).sum
+      id -> (sum * 1000000L / ts.size)
+    }
+    val gotMap = got.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("mean_rank_micro")).toMap
+    assert(gotMap == expected, s"got $gotMap expected $expected")
+    // plan gate (round-4 verdict #2): the only partition-less WindowExec is
+    // the bucket-offset cumsum over BUCKET-COUNT rows (it emits _roff); the
+    // vocabulary rank window must be partitioned by (n, _rb)
+    // descend through AQE wrappers (AdaptiveSparkPlanExec / QueryStageExec
+    // are leaf-like: TreeNode.collect does not reach their inner plans)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    val wins = flatten(got.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty)
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      // identified by its input: the (n, _rb, _rn) bucket-count aggregate
+      assert(w.child.output.exists(_.name == "_rn"),
+        s"partition-less window over non-bucket rows: ${w.child.output.map(_.name)}")
+    }
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      "the per-bucket rank window is missing")
   }
 
   test("encoding signals: ascii/utf8/bom/invalid classes, byte-precise") {
@@ -966,10 +1092,13 @@ class SeedCandidatesSpec extends AnyFunSuite {
     val out = Sitemap.seedCandidates(maps, sources).collect()
       .map(r => r.getString(0) -> ((Option(r.getString(1)), r.getBoolean(2))))
       .toMap
-    assert(out.size == 3) // the repeated loc deduped, the ftp loc gated out
+    // the repeated loc deduped; the ftp loc SURFACES (auditable) but is
+    // ineligible — the scheme test lives in the eligibility expression
+    assert(out.size == 4)
     assert(out("http://a.com/x") == ((Some("a.com"), true)))
     assert(out("https://b.org/y") == ((Some("b.org"), true)))
     assert(out("http://nomatch.net/z") == ((None, false)))
+    assert(out("ftp://a.com/f") == ((Some("a.com"), false)))
   }
 
   test("multi-prefix match resolves to the smallest prefix deterministically") {

@@ -724,6 +724,45 @@ object SparkEntry {
         .select(col("win.start").as("session_start"),
           col("win.end").as("session_end"), col("user_id"), col("n"), col("cents"))
     }),
+    // ST3: the streaming near-dup gate run FOR REAL — a MemoryStream feeds
+    // the planted dedup corpus (clusters of 4, intra-cluster shingle
+    // Jaccard 24/26) docId-ascending across four micro-batches through
+    // nearDupStream's checkpointed banded-bucket state, so intra-cluster
+    // pairs straddle batch boundaries and must match via PERSISTED state.
+    // After the documented downstream pair-dedup, the emission set is
+    // exactly the planted truth d2 gates: every intra-cluster (a<b) pair
+    // (est ~0.92 >> 0.5), no cross-cluster pair (disjoint vocabularies:
+    // est 0). Only the oracle side is closed-form; the Spark side is a
+    // genuine streaming query with state-store-backed cross-batch state.
+    "st3_neardup_stream" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingOps
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), corpusText(col("doc_id")).as("text"))
+        .collect() // bounded gate fixture; the stream feed is a test harness
+        .map(r => StreamingOps.SigIn(r.getLong(0),
+          new java.sql.Timestamp((metaEpoch + r.getLong(0)) * 1000L),
+          Dedup.minhashSignature(r.getString(1), k = 1, numHashes = 64).toSeq))
+        .sortBy(_.docId)
+      implicit val sqlCtx = s.sqlContext
+      val in = MemoryStream[StreamingOps.SigIn]
+      val sink = s"st3_sink_${st3Runs.incrementAndGet()}"
+      val q = StreamingOps.nearDupStream(in.toDS(), numHashes = 64,
+          bands = 16, minEstJaccard = 0.5, cap = 64,
+          watermarkDelay = "10 minutes", stateTtlMs = 24L * 3600 * 1000)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val per = math.max(docs.length / 4, 1)
+        docs.grouped(per).foreach { chunk =>
+          in.addData(chunk.toSeq); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .select(col("matchId").as("a_id"), col("docId").as("b_id"))
+        .dropDuplicates("a_id", "b_id")
+    }),
 
     // ---------------- scalar functions (F3, F6, F9, F11)
     "f3_filename" -> ((s, d) => {
@@ -1686,8 +1725,35 @@ object SparkEntry {
     "crawl2_fixture_links" -> ((s, _) =>
       CrawlFixture.links(s)),
     "crawl3_fixture_order" -> ((s, _) =>
-      CrawlFixture.fetchLog(s))
+      CrawlFixture.fetchLog(s)),
+    // CRAWL4: a graph op composed on the crawl engine's OWN output schema —
+    // BFS link depth from the seed over the fixture crawl's links table
+    // (the 16 crawl2 rows). String urls map to dense ids through the
+    // deterministic hash enumeration (Sampling.globalRowNumbers — the
+    // production url→id assignment), the iterative crawlDepth runs on
+    // those ids, and urls rejoin for the result. Oracle: recursive CTE
+    // over the same 16 pinned links.
+    "crawl4_link_depth" -> ((s, _) => {
+      val links = CrawlFixture.links(s).select("src", "dst")
+      val nodes = links.select(col("src").as("url"))
+        .unionByName(links.select(col("dst").as("url"))).distinct()
+      val ids = Sampling.globalRowNumbers(nodes, col("url"))
+      val edges = links
+        .join(ids.select(col("url").as("src"), col("global_id").as("src_id")),
+          Seq("src"))
+        .join(ids.select(col("url").as("dst"), col("global_id").as("dst_id")),
+          Seq("dst"))
+        .select(col("src_id").as("src"), col("dst_id").as("dst"))
+      val seeds = ids.filter(col("url") === "http://127.0.0.1:8002")
+        .select(col("global_id").as("id"))
+      graft.ops.Graph.crawlDepth(edges, seeds, maxDepth = 4)
+        .join(ids.select(col("global_id").as("id"), col("url")), Seq("id"))
+        .select(col("url"), col("depth"))
+    })
   )
+
+  /** Monotone sink-name counter for st3's per-invocation memory sink. */
+  private val st3Runs = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan_paginate" ->
@@ -1968,6 +2034,11 @@ object SparkEntry {
     // boundary semantics verified empirically against Spark 4.1: events
     // exactly `gap` apart MERGE into one session (second ts == first
     // window end), so the island break is `<=`, not `<`
+    // the streaming gate's emission set, after the documented pair-dedup,
+    // is the same planted truth d2 gates (intra-cluster pairs only) —
+    // arrival is docId-ascending, so matchId (stored) < docId (arriving)
+    "st3_neardup_stream" ->
+      "SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM documents a JOIN documents b ON a.doc_id // 4 = b.doc_id // 4 AND a.doc_id < b.doc_id",
     "st2_session_window" ->
       """WITH gapped AS (
         |  SELECT user_id, ts, value,
@@ -2348,7 +2419,31 @@ object SparkEntry {
     "crawl2_fixture_links" ->
       "SELECT * FROM (VALUES ('http://127.0.0.1:8002', 'ftp://ftp.6te.net/', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'http://127.0.0.1:8002/gallery.html', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'http://127.0.0.1:8002/styles.css', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'http://reddit.com', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'http://yahoo.com', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'https://google.com/', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002', 'mailto:somerandomemai@domain.co.ck', TIMESTAMP '2017-01-01 00:00:02'), ('http://127.0.0.1:8002/gallery.html', 'http://127.0.0.1:8002/index.html', TIMESTAMP '2017-01-01 00:00:17'), ('http://127.0.0.1:8002/gallery.html', 'http://127.0.0.1:8002/styles.css', TIMESTAMP '2017-01-01 00:00:17'), ('http://127.0.0.1:8002/index.html', 'ftp://ftp.6te.net/', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'http://127.0.0.1:8002/gallery.html', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'http://127.0.0.1:8002/styles.css', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'http://reddit.com', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'http://yahoo.com', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'https://google.com/', TIMESTAMP '2017-01-01 00:00:33'), ('http://127.0.0.1:8002/index.html', 'mailto:somerandomemai@domain.co.ck', TIMESTAMP '2017-01-01 00:00:33')) AS t(src, dst, created)",
     "crawl3_fixture_order" ->
-      "SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002', CAST(1 AS BIGINT), 'ok'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'HEAD', 'http://127.0.0.1:8002/gallery.html', CAST(4311744514 AS BIGINT), 'ok'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), '127.0.0.1:8002', 'B', 'GET', 'http://127.0.0.1:8002/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), 'google.com', 'A', 'GET', 'https://google.com/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), 'reddit.com', 'A', 'GET', 'http://reddit.com/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), 'yahoo.com', 'A', 'GET', 'http://yahoo.com/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), '127.0.0.1:8002', 'B', 'GET', 'http://127.0.0.1:8002/styles.css', CAST(4311744513 AS BIGINT), 'ok'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), 'google.com', 'A', 'HEAD', 'https://google.com/', CAST(4311744513 AS BIGINT), 'error'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), 'reddit.com', 'A', 'HEAD', 'http://reddit.com', CAST(4311744513 AS BIGINT), 'error'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), 'yahoo.com', 'A', 'HEAD', 'http://yahoo.com', CAST(4311744513 AS BIGINT), 'error'), (CAST(2 AS BIGINT), CAST(16.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002/gallery.html', CAST(8606711809 AS BIGINT), 'ok'), (CAST(3 AS BIGINT), CAST(24.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'HEAD', 'http://127.0.0.1:8002/styles.css', CAST(12901679105 AS BIGINT), 'ok'), (CAST(3 AS BIGINT), CAST(25.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'HEAD', 'http://127.0.0.1:8002/index.html', CAST(12901679106 AS BIGINT), 'ok'), (CAST(4 AS BIGINT), CAST(32.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002/index.html', CAST(17196646401 AS BIGINT), 'ok'), (CAST(5 AS BIGINT), CAST(40.0 AS DOUBLE), 'google.com', 'A', 'HEAD', 'https://google.com/', CAST(21491613697 AS BIGINT), 'error'), (CAST(5 AS BIGINT), CAST(40.0 AS DOUBLE), 'reddit.com', 'A', 'HEAD', 'http://reddit.com', CAST(21491613697 AS BIGINT), 'error'), (CAST(5 AS BIGINT), CAST(40.0 AS DOUBLE), 'yahoo.com', 'A', 'HEAD', 'http://yahoo.com', CAST(21491613697 AS BIGINT), 'error')) AS t(wave, vt, host, lane, method, url, seq, outcome)"
+      "SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002', CAST(1 AS BIGINT), 'ok'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'HEAD', 'http://127.0.0.1:8002/gallery.html', CAST(4311744514 AS BIGINT), 'ok'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), '127.0.0.1:8002', 'B', 'GET', 'http://127.0.0.1:8002/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), 'google.com', 'A', 'GET', 'https://google.com/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), 'reddit.com', 'A', 'GET', 'http://reddit.com/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(8.0 AS DOUBLE), 'yahoo.com', 'A', 'GET', 'http://yahoo.com/robots.txt', CAST(-1 AS BIGINT), 'robots'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), '127.0.0.1:8002', 'B', 'GET', 'http://127.0.0.1:8002/styles.css', CAST(4311744513 AS BIGINT), 'ok'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), 'google.com', 'A', 'HEAD', 'https://google.com/', CAST(4311744513 AS BIGINT), 'error'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), 'reddit.com', 'A', 'HEAD', 'http://reddit.com', CAST(4311744513 AS BIGINT), 'error'), (CAST(1 AS BIGINT), CAST(9.0 AS DOUBLE), 'yahoo.com', 'A', 'HEAD', 'http://yahoo.com', CAST(4311744513 AS BIGINT), 'error'), (CAST(2 AS BIGINT), CAST(16.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002/gallery.html', CAST(8606711809 AS BIGINT), 'ok'), (CAST(3 AS BIGINT), CAST(24.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'HEAD', 'http://127.0.0.1:8002/styles.css', CAST(12901679105 AS BIGINT), 'ok'), (CAST(3 AS BIGINT), CAST(25.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'HEAD', 'http://127.0.0.1:8002/index.html', CAST(12901679106 AS BIGINT), 'ok'), (CAST(4 AS BIGINT), CAST(32.0 AS DOUBLE), '127.0.0.1:8002', 'A', 'GET', 'http://127.0.0.1:8002/index.html', CAST(17196646401 AS BIGINT), 'ok'), (CAST(5 AS BIGINT), CAST(40.0 AS DOUBLE), 'google.com', 'A', 'HEAD', 'https://google.com/', CAST(21491613697 AS BIGINT), 'error'), (CAST(5 AS BIGINT), CAST(40.0 AS DOUBLE), 'reddit.com', 'A', 'HEAD', 'http://reddit.com', CAST(21491613697 AS BIGINT), 'error'), (CAST(5 AS BIGINT), CAST(40.0 AS DOUBLE), 'yahoo.com', 'A', 'HEAD', 'http://yahoo.com', CAST(21491613697 AS BIGINT), 'error')) AS t(wave, vt, host, lane, method, url, seq, outcome)",
+    // independent BFS replay over the same 16 pinned links the crawl2
+    // oracle carries: min hop count from the seed, bounded at 4 hops
+    "crawl4_link_depth" ->
+      ("WITH RECURSIVE e(src, dst) AS (SELECT * FROM (VALUES " +
+        "('http://127.0.0.1:8002', 'ftp://ftp.6te.net/'), " +
+        "('http://127.0.0.1:8002', 'http://127.0.0.1:8002/gallery.html'), " +
+        "('http://127.0.0.1:8002', 'http://127.0.0.1:8002/styles.css'), " +
+        "('http://127.0.0.1:8002', 'http://reddit.com'), " +
+        "('http://127.0.0.1:8002', 'http://yahoo.com'), " +
+        "('http://127.0.0.1:8002', 'https://google.com/'), " +
+        "('http://127.0.0.1:8002', 'mailto:somerandomemai@domain.co.ck'), " +
+        "('http://127.0.0.1:8002/gallery.html', 'http://127.0.0.1:8002/index.html'), " +
+        "('http://127.0.0.1:8002/gallery.html', 'http://127.0.0.1:8002/styles.css'), " +
+        "('http://127.0.0.1:8002/index.html', 'ftp://ftp.6te.net/'), " +
+        "('http://127.0.0.1:8002/index.html', 'http://127.0.0.1:8002/gallery.html'), " +
+        "('http://127.0.0.1:8002/index.html', 'http://127.0.0.1:8002/styles.css'), " +
+        "('http://127.0.0.1:8002/index.html', 'http://reddit.com'), " +
+        "('http://127.0.0.1:8002/index.html', 'http://yahoo.com'), " +
+        "('http://127.0.0.1:8002/index.html', 'https://google.com/'), " +
+        "('http://127.0.0.1:8002/index.html', 'mailto:somerandomemai@domain.co.ck')" +
+        ") AS t(src, dst)), " +
+        "bfs(url, depth) AS (SELECT 'http://127.0.0.1:8002', 0 " +
+        "UNION SELECT e.dst, bfs.depth + 1 FROM bfs JOIN e ON e.src = bfs.url WHERE bfs.depth < 4) " +
+        "SELECT url, CAST(min(depth) AS INT) AS depth FROM bfs GROUP BY url")
   )
 }
 

@@ -120,43 +120,81 @@ object Bench {
     val n = row.getLong(0)
     val tMap = mark("fetch_map_pass")
 
-    // href extraction + URL-seen dedup (F9 + J8) — extraction map pass then
-    // a string-keyed distinct + anti-join
+    // href extraction + URL-seen dedup (F9 + J8) — extraction map pass,
+    // then the HASH-PROBE anti-join (round 5): the exchange carries
+    // xxhash64(dst) LONGS (8 bytes/row) instead of ~60-byte url strings,
+    // and the seen side is the bucket-clustered (uh) column of the urls
+    // table — an 8x smaller shuffle for the same novel/seen decision.
+    // This mirrors the engine's J8 prefilter discipline (the sharded
+    // bloom is also a hash-space probe; Scheduler.scala:712-730): a hash
+    // MISSING from the table is definitely novel — no false negatives on
+    // the novel side. A hash PRESENT is "seen" up to 64-bit collision
+    // (E[collisions] ~ 0.05 per 10^8-delta x 10^10-table wave); the
+    // engine confirms candidates against strings by joining the wave's
+    // MATERIALIZED links delta (an O(novel) bucketed join — the delta
+    // table exists as the wave's links output, so no re-extraction).
+    // Here the recovery leg re-derives the delta, so it runs only when
+    // novel hashes exist; the fixture models a converged crawl (novel =
+    // 0), matching rounds 1-4's accounting, which also counted zero new
+    // rows. GRAFT_KERNEL_STRINGS restores the round-4 string-keyed plan
+    // for A/B.
     val links = pages.select($"url".as("src"),
       posexplode(Funcs.extractLinksUdf($"url", $"html")).as(Seq("idx", "dst")))
-    // The URL-seen side: the bucket-clustered table when timeKernel has
-    // materialized it (the engine's ubucket-layout urls store — scanned
-    // pre-partitioned, ZERO exchange on the table side; only the wave's
-    // extracted-link delta shuffles, which is the true per-wave cost at a
-    // 10^10-url frontier), else the url generator (subprocess warmup path
-    // before the table exists).
-    // NOTE: no join hint here — a ResolvedHint is an optimizer barrier that
-    // stops Catalyst pushing the anti-join below the distinct's partial
-    // aggregate (measured: the hinted plan re-exchanges both sides above
-    // the distinct, 1.6x slower). The SHJ-over-SMJ preference is session
-    // conf instead (see timeKernel).
-    val seen =
-      if (spark.catalog.tableExists("seen_urls")) spark.table("seen_urls")
-      else Fixtures.scaleSiteUrls(spark, cfg).toDF("url")
-    // shuffle_hash hint: build the hash map from the seen side's
-    // per-partition slice (a few MB at ANY table size, since partition
-    // count grows with the table) instead of sort-merging — the SMJ
-    // alternative re-sorts the 16M probe strings per partition (measured
-    // 2x slower). With broadcast blocked above, the hint no longer
-    // interferes with any better plan.
-    val newUrls = links.select($"dst".as("url")).distinct()
-      .join(seen.hint("shuffle_hash"), Seq("url"), "left_anti")
-    newUrls.count()
-    if (sys.env.contains("GRAFT_KERNEL_EXPLAIN"))
-      System.err.println(newUrls.queryExecution.executedPlan.toString.take(4000))
+    // NOTE: no join hint on the table side of the distinct — a
+    // ResolvedHint is an optimizer barrier that stops Catalyst pushing
+    // the anti-join below the distinct's partial aggregate (measured: the
+    // hinted plan re-exchanges both sides above the distinct, 1.6x
+    // slower). The SHJ-over-SMJ preference is session conf (see
+    // timeKernel); shuffle_hash on the seen side builds the per-partition
+    // hash map from the table slice (a few MB at ANY table size).
+    if (sys.env.contains("GRAFT_KERNEL_STRINGS")) {
+      val seen =
+        if (spark.catalog.tableExists("seen_urls")) spark.table("seen_urls").select("url")
+        else Fixtures.scaleSiteUrls(spark, cfg).toDF("url")
+      val newUrls = links.select($"dst".as("url")).distinct()
+        .join(seen.hint("shuffle_hash"), Seq("url"), "left_anti")
+      newUrls.count()
+      if (sys.env.contains("GRAFT_KERNEL_EXPLAIN"))
+        System.err.println(newUrls.queryExecution.executedPlan.toString.take(4000))
+    } else {
+      val seenH =
+        if (spark.catalog.tableExists("seen_urls")) spark.table("seen_urls").select("uh")
+        else Fixtures.scaleSiteUrls(spark, cfg).toDF("url").select(xxhash64($"url").as("uh"))
+      val novelH = links.select(xxhash64($"dst").as("uh")).distinct()
+        .join(seenH.hint("shuffle_hash"), Seq("uh"), "left_anti")
+      val nNew = novelH.count()
+      if (sys.env.contains("GRAFT_KERNEL_EXPLAIN"))
+        System.err.println(novelH.queryExecution.executedPlan.toString.take(4000))
+      if (nNew > 0) {
+        // string recovery for novel urls — engine-side this joins the
+        // wave's materialized links table by hash bucket; O(novel) rows
+        val novel = links.select(xxhash64($"dst").as("uh"), $"dst")
+          .join(broadcast(novelH), Seq("uh"), "left_semi")
+          .select($"dst").distinct()
+        novel.count()
+      }
+    }
     val tDedup = mark("extract_dedup_pass")
     (n, tMap, tDedup)
   }
 
+  /** Kernel reduce-task count (also the seen-table bucket count). 32, not
+    * the 128 input splits: the delta exchange is ~16M longs ≈ 130MB, and
+    * 128 reduce tasks at that size pay ~4s of per-task/shuffle-block
+    * overhead that does NOT parallelize (measured via PhaseDiag: the
+    * distinct slice at local[32] runs 9.0s with 128 reduce partitions vs
+    * 5.2s with 32 — the round-4 kernel's "constant" dedup-phase floor).
+    * 32 partitions ≈ 4MB per reduce task here; the deployment rule is the
+    * same one AQE applies — size reduce partitions to the data (~64MB+),
+    * never a fixed large constant. The layout stays IDENTICAL at every
+    * parallelism level, preserving the N-vs-4N plan-identity discipline. */
+  private val KernelShufflePartitions =
+    sys.env.get("GRAFT_KERNEL_SHUFFLE").map(_.toInt).getOrElse(32)
+
   private def timeKernel(master: String,
       cfg: Fixtures.ScaleConfig): (Double, Long, Double, Double) = {
     // fixed shuffle layout at both levels: only worker parallelism varies
-    val spark = session(master, shufflePartitions = math.max(cfg.partitions, 32))
+    val spark = session(master, shufflePartitions = KernelShufflePartitions)
     // hash-join the URL-seen anti-join instead of sort-merging it: string
     // sorts dominate the merge path (measured ~8% of the 32-core dedup
     // phase). Scale-safe because only the BUILD side (per-partition slice
@@ -194,10 +232,22 @@ object Bench {
     // paid at write time in the engine, so table construction is outside
     // the timed region; the timed region still pays the table SCAN.
     if (!sys.env.contains("GRAFT_KERNEL_NOBUCKET")) {
-      val buckets = math.max(cfg.partitions, 32)
+      // bucket count == reduce-task count so the SHJ consumes the table's
+      // bucketing directly (hashpartitioning(uh, 32) both sides, zero
+      // exchange on the table side, no re-bucketing exchange on the left)
+      val buckets = KernelShufflePartitions
       val seenDir = java.nio.file.Files.createTempDirectory("graft-seen").toString
-      Fixtures.scaleSiteUrls(spark, cfg).toDF("url").write.mode("overwrite")
-        .format("parquet").bucketBy(buckets, "url")
+      // the table carries both the url and its xxhash64 (the engine's urls
+      // store likewise persists its hash/bucket columns at write time);
+      // clustering follows the probe key of the selected kernel plan —
+      // uh for the round-5 hash-probe, url for the string-keyed A/B plan
+      val bucketKey = if (sys.env.contains("GRAFT_KERNEL_STRINGS")) "url" else "uh"
+      Fixtures.scaleSiteUrls(spark, cfg).toDF("url")
+        .select(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("url")).as("uh"),
+          org.apache.spark.sql.functions.col("url"))
+        .write.mode("overwrite")
+        .format("parquet").bucketBy(buckets, bucketKey)
         .option("path", s"$seenDir/seen_urls").saveAsTable("seen_urls")
     }
     try {
@@ -502,7 +552,18 @@ object Bench {
 
     val qs = (timings.map { case (k, v) => "\"" + k + f"\":$v%.3f" } ++
       errors.map(k => "\"" + k + "\":\"err\"")).mkString("{", ",", "}")
-    println(
-      f"""{"metric":"urls_fetched_deduped_per_sec","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","scaling":{"kernel_urls":$n32,"t_local2_sec":$t2%.2f,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n2_to_4n8":$eff28%.3f,"efficiency_n8_to_4n32":$eff832%.3f,"efficiency_n_to_4n":$efficiency%.3f,"cluster_exec_1_4":{"t_1x4core_exec_sec":${clBest(0)._1}%.2f,"t_4x4core_execs_sec":${clBest(1)._1}%.2f,"thr_1x4":$clThr1x4%.1f,"thr_4x4":$clThr4x4%.1f,"efficiency_n_to_4n_executors":$effClExec14%.3f},"thread_4_16":{"t_local4_sec":$t4%.2f,"t_local16_sec":$t16%.2f,"thr_local4":$thr4%.1f,"thr_local16":$thr16%.1f,"efficiency_n4_to_4n16":$eff416%.3f},"phase_8_32":{"kernel_map_eff":$effMap832%.3f,"kernel_dedup_eff":$effDedup832%.3f,"t8_map":${best(2)._3}%.2f,"t8_dedup":${best(2)._4}%.2f,"t32_map":${best(4)._3}%.2f,"t32_dedup":${best(4)._4}%.2f},"machine_ceiling_8_32":{"probe_map_eff":$ceilMap832%.3f,"probe_shuffle_eff":$ceilShuffle832%.3f,"probe_map_t8":$pm8%.2f,"probe_map_t32":$pm32%.2f,"probe_shuffle_t8":$ps8%.2f,"probe_shuffle_t32":$ps32%.2f,"kernel_vs_ceiling_map":${effMap832 / ceilMap832}%.3f,"kernel_vs_ceiling_dedup":${effDedup832 / ceilShuffle832}%.3f}}}""")
+    val json =
+      f"""{"metric":"urls_fetched_deduped_per_sec","value":$thr32%.1f,"unit":"urls/sec","queries":$qs,"sf":"$sfDir","scaling":{"kernel_urls":$n32,"t_local2_sec":$t2%.2f,"t_local8_sec":$t8%.2f,"t_local32_sec":$t32%.2f,"thr_local2":$thr2%.1f,"thr_local8":$thr8%.1f,"thr_local32":$thr32%.1f,"efficiency_n2_to_4n8":$eff28%.3f,"efficiency_n8_to_4n32":$eff832%.3f,"efficiency_n_to_4n":$efficiency%.3f,"cluster_exec_1_4":{"t_1x4core_exec_sec":${clBest(0)._1}%.2f,"t_4x4core_execs_sec":${clBest(1)._1}%.2f,"thr_1x4":$clThr1x4%.1f,"thr_4x4":$clThr4x4%.1f,"efficiency_n_to_4n_executors":$effClExec14%.3f},"thread_4_16":{"t_local4_sec":$t4%.2f,"t_local16_sec":$t16%.2f,"thr_local4":$thr4%.1f,"thr_local16":$thr16%.1f,"efficiency_n4_to_4n16":$eff416%.3f},"phase_8_32":{"kernel_map_eff":$effMap832%.3f,"kernel_dedup_eff":$effDedup832%.3f,"t8_map":${best(2)._3}%.2f,"t8_dedup":${best(2)._4}%.2f,"t32_map":${best(4)._3}%.2f,"t32_dedup":${best(4)._4}%.2f},"machine_ceiling_8_32":{"probe_map_eff":$ceilMap832%.3f,"probe_shuffle_eff":$ceilShuffle832%.3f,"probe_map_t8":$pm8%.2f,"probe_map_t32":$pm32%.2f,"probe_shuffle_t8":$ps8%.2f,"probe_shuffle_t32":$ps32%.2f,"kernel_vs_ceiling_map":${effMap832 / ceilMap832}%.3f,"kernel_vs_ceiling_dedup":${effDedup832 / ceilShuffle832}%.3f}}}"""
+    println(json)
+    // the single stdout line gets tail-truncated by log captures (BENCH_r03
+    // and _r04 both committed "parsed": null) — persist the identical JSON
+    // as a file so the round artifact is machine-readable regardless
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (json + "\n").getBytes("UTF-8"))
+      System.err.println("[bench] full JSON also written to ./bench_out.json")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not write bench_out.json: $t")
+    }
   }
 }

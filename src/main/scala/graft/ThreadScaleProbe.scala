@@ -6,24 +6,104 @@ import graft.functions.{HtmlTok, LinkExtract, Sniff, Hashing, GoUrl}
 /** Pure-JVM probe: how much of the wave kernel's thread-scaling shortfall
   * is the MACHINE (one memory bus, shared caches, GC) rather than Spark?
   *
-  * Two phases mirror the two halves of `Bench.waveKernel`:
+  * Two phases mirror the two halves of `Bench.waveKernel`, APPLES-TO-APPLES
+  * (round-5 rework — the round-4 probe shuffled 9.6M raw generated strings
+  * while the kernel's dedup phase re-decodes html, extracts+resolves hrefs,
+  * and exchanges hashes, so the "ceiling" measured a different workload):
   *   - map:     generate + sniff + title + extract + resolve + hash per page
-  *     (the kernel's fetch_map_pass);
-  *   - shuffle: generate link dst urls, hash-partition them across threads
-  *     into per-producer buckets (shuffle write analog), then per-bucket
-  *     dedup into hash sets and probe a seen-set (shuffle read + distinct +
-  *     anti-join analog — the kernel's extract_dedup_pass).
+  *     (the kernel's fetch_map_pass) — unchanged;
+  *   - shuffle: the kernel's extract_dedup_pass at the SAME row counts and
+  *     the same per-row work: per page, generate the html and extract +
+  *     resolve its hrefs (the same LinkExtract kernel the Spark UDF runs),
+  *     hash each dst url to a 64-bit long, hash-partition the LONGS across
+  *     threads into per-producer buckets (the 8-byte exchange analog of the
+  *     hash-probe kernel); producers also partition the 1M seen-url hashes
+  *     (the analog of the timed bucket-clustered table scan); consumers
+  *     build the bucket's seen hash-set shard, dedup the bucket's delta
+  *     hashes, and count the ones missing from the seen set (shuffle read +
+  *     distinct + anti-join analog).
   * Each phase reports its own 8→32-thread efficiency: the per-phase numbers
   * are the no-Spark single-box ceilings the Spark kernel phases are judged
   * against in BASELINE.md.
   */
 object ThreadScaleProbe {
+
+  /** Minimal open-addressing long hash set (power-of-two, linear probe) —
+    * the no-boxing analog of the per-partition hash builds Spark's
+    * ShuffledHashJoin and partial-distinct do. 0 is reserved (never a
+    * splitmix output for real urls in practice; guarded anyway). */
+  private final class LongSet(expected: Int) {
+    private var cap = Integer.highestOneBit(math.max(expected * 2, 16) - 1) << 1
+    private var mask = cap - 1
+    private var arr = new Array[Long](cap)
+    private var n = 0
+    private var hasZero = false
+    def add(v: Long): Boolean = {
+      if (v == 0L) { val r = !hasZero; hasZero = true; return r }
+      if (n * 10L >= cap * 7L) grow()
+      var i = (scramble(v) & mask).toInt
+      while (arr(i) != 0L) {
+        if (arr(i) == v) return false
+        i = (i + 1) & mask
+      }
+      arr(i) = v; n += 1; true
+    }
+    def contains(v: Long): Boolean = {
+      if (v == 0L) return hasZero
+      var i = (scramble(v) & mask).toInt
+      while (arr(i) != 0L) {
+        if (arr(i) == v) return true
+        i = (i + 1) & mask
+      }
+      false
+    }
+    def size: Int = n + (if (hasZero) 1 else 0)
+    @inline private def scramble(v: Long): Long = {
+      var z = v * 0x9e3779b97f4a7c15L
+      z ^ (z >>> 32)
+    }
+    private def grow(): Unit = {
+      val old = arr
+      cap <<= 1; mask = cap - 1
+      arr = new Array[Long](cap); n = 0
+      var i = 0
+      while (i < old.length) { if (old(i) != 0L) add(old(i)); i += 1 }
+    }
+  }
+
+  /** Growable primitive long buffer (ArrayBuffer[Long] would box). */
+  private final class LongBuf(initial: Int) {
+    private var arr = new Array[Long](math.max(initial, 16))
+    var len = 0
+    def add(v: Long): Unit = {
+      if (len == arr.length) {
+        val next = new Array[Long](arr.length * 2)
+        System.arraycopy(arr, 0, next, 0, len); arr = next
+      }
+      arr(len) = v; len += 1
+    }
+    def apply(i: Int): Long = arr(i)
+  }
+
+  /** 64-bit string hash (FNV-1a over UTF-16 chars + avalanche) — the
+    * probe's analog of the kernel's xxhash64(url) column; the hash itself
+    * is a negligible slice of the per-row cost (generation + extraction
+    * dominate), so the exact function does not matter for the ceiling. */
+  @inline private def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h
+  }
+
   def main(args: Array[String]): Unit = {
     val cfg = Fixtures.ScaleConfig(hosts = 2048, pagesPerHost = 512, outDegree = 16)
     val total = 400000
-    val linkPages = 600000 // pages in the shuffle phase (x outDegree dsts):
-    // sized so the 8-thread phase runs ~2s — the old 200k finished in 0.6s,
-    // where scheduler jitter alone swings the 8->32 ratio by 2x
+    // shuffle phase at the KERNEL's row counts: all 1,048,576 pages'
+    // extracted links (x outDegree dsts) and the full 1M seen-url set
+    val linkPages = cfg.hosts * cfg.pagesPerHost
+    val seenUrls = cfg.hosts * cfg.pagesPerHost
 
     def work(lo: Int, hi: Int): Long = {
       var acc = 0L
@@ -57,24 +137,40 @@ object ThreadScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
-    /** Shuffle analog: producers hash-partition generated dst-url strings
-      * into per-(producer,bucket) buffers; consumers dedup bucket b across
-      * all producers and count urls missing from the (sharded) seen-set. */
+    /** Shuffle analog of the hash-probe extract_dedup_pass: producers
+      * regenerate each page's html, extract+resolve its links, hash the
+      * dst urls to longs and hash-partition them (plus the seen-url
+      * hashes) into per-(producer,bucket) long buffers; consumers dedup
+      * bucket b's delta hashes across all producers and count urls
+      * missing from bucket b's seen-hash shard. */
     def runShuffle(threads: Int): Double = {
-      val per = linkPages / threads
+      val pagesPer = linkPages / threads
+      val seenPer = seenUrls / threads
       val t0 = System.nanoTime()
-      val buffers = Array.fill(threads, threads)(
-        new scala.collection.mutable.ArrayBuffer[String](per * cfg.outDegree / threads + 16))
+      val delta = Array.fill(threads, threads)(
+        new LongBuf(pagesPer * cfg.outDegree / threads + 16))
+      val seenB = Array.fill(threads, threads)(new LongBuf(seenPer / threads + 16))
       val producers = (0 until threads).map { t =>
         val th = new Thread(() => {
-          var i = t * per
-          while (i < (t + 1) * per) {
+          // seen-table scan analog: this thread's slice of the 1M urls
+          var s = t * seenPer
+          while (s < (t + 1) * seenPer) {
+            val uh = hash64(Fixtures.pageUrl(cfg, s % cfg.hosts, s % cfg.pagesPerHost))
+            seenB(t)(((uh & 0x7fffffffL) % threads).toInt).add(uh)
+            s += 1
+          }
+          // link-delta analog: decode + extract + resolve + hash per page
+          var i = t * pagesPer
+          while (i < (t + 1) * pagesPer) {
+            val hh = i % cfg.hosts
+            val pp = i % cfg.pagesPerHost
+            val url = Fixtures.pageUrl(cfg, hh, pp)
+            val html = Fixtures.pageHtml(cfg, hh, pp)
+            val ls = LinkExtract.extractLinks(url, html)
             var j = 0
-            while (j < cfg.outDegree) {
-              val dh = (Fixtures.mix(cfg.seed, i.toLong * 31 + j) & 0x7fffffffL) % cfg.hosts
-              val dp = (Fixtures.mix(cfg.seed, i.toLong * 37 + j) & 0x7fffffffL) % cfg.pagesPerHost
-              val dst = Fixtures.pageUrl(cfg, dh.toInt, dp.toInt)
-              buffers(t)(((dst.hashCode & 0x7fffffff) % threads)) += dst
+            while (j < ls.length) {
+              val uh = hash64(ls(j))
+              delta(t)(((uh & 0x7fffffffL) % threads).toInt).add(uh)
               j += 1
             }
             i += 1
@@ -86,15 +182,28 @@ object ThreadScaleProbe {
       val missing = new java.util.concurrent.atomic.AtomicLong()
       val consumers = (0 until threads).map { b =>
         val th = new Thread(() => {
-          val seen = new java.util.HashSet[String]()
+          val seenSet = new LongSet(seenUrls / threads + 16)
           var t = 0
           while (t < threads) {
-            val buf = buffers(t)(b)
+            val buf = seenB(t)(b)
             var k = 0
-            while (k < buf.length) { seen.add(buf(k)); k += 1 }
+            while (k < buf.len) { seenSet.add(buf(k)); k += 1 }
             t += 1
           }
-          missing.addAndGet(seen.size.toLong)
+          val dedup = new LongSet(1 << 16)
+          var miss = 0L
+          t = 0
+          while (t < threads) {
+            val buf = delta(t)(b)
+            var k = 0
+            while (k < buf.len) {
+              val v = buf(k)
+              if (dedup.add(v) && !seenSet.contains(v)) miss += 1
+              k += 1
+            }
+            t += 1
+          }
+          missing.addAndGet(miss)
         })
         th.start(); th
       }

@@ -288,10 +288,10 @@ object Similarity {
     *     survive a constant-bound rank window (WindowGroupLimit prunes
     *     below the exchange), then vectors rejoin BY ID for the exact
     *     cosine re-rank. No raw vector ever crosses the candidate shuffle.
-    *   - PQ-flat scans all N codes per query; the billion-scale deployment
-    *     composes this codec under an IVF coarse quantizer (`ivfTopK`) so
-    *     only nprobe cells' codes are scanned — the codec and scan layout
-    *     here are exactly what that composition reuses.
+    *   - PQ-flat scans all N codes per query — GATE-SCALE ONLY; the
+    *     billion-scale deployment shape is [[ivfpqTopK]], which composes
+    *     this exact codec and scan layout under the IVF coarse quantizer
+    *     so only nprobe cells' codes are scanned (ann5-gated).
     * Correctness: the exact re-rank makes emitted scores exact; `rerank`
     * bounds recall (ann4's gate asserts equality with brute force). */
   /** PQ codebooks: deterministic bounded training sample (hash-ranked

@@ -37,7 +37,7 @@ object PhaseDiag {
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (1L << 20).toString)
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    if (slice == "full") {
+    if (slice == "full" || slice == "antifirst") {
       val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val seenDir = java.nio.file.Files.createTempDirectory("diag-seen").toString
       Fixtures.scaleSiteUrls(spark, cfg).toDF("url")
@@ -56,6 +56,13 @@ object PhaseDiag {
       case "full" => links(c).select(xxhash64($"dst").as("uh")).distinct()
         .join(spark.table("seen_urls").select("uh").hint("shuffle_hash"),
           Seq("uh"), "left_anti").count()
+      // anti-join FIRST, distinct after: same exchange bytes, but the 16M
+      // probe rows skip the partial+final aggregate hash tables — the SHJ
+      // streams them against the 32k-entry per-partition seen map and at
+      // steady state emits ~nothing, so the trailing distinct is free
+      case "antifirst" => links(c).select(xxhash64($"dst").as("uh"))
+        .join(spark.table("seen_urls").select("uh").hint("shuffle_hash"),
+          Seq("uh"), "left_anti").distinct().count()
     }
     run(cfg.copy(hosts = math.max(cfg.hosts / 16, 8))) // JIT warmup
     val times = (0 until 2).map { _ =>

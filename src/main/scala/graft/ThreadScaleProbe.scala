@@ -139,17 +139,24 @@ object ThreadScaleProbe {
 
     /** Shuffle analog of the hash-probe extract_dedup_pass: producers
       * regenerate each page's html, extract+resolve its links, hash the
-      * dst urls to longs and hash-partition them (plus the seen-url
-      * hashes) into per-(producer,bucket) long buffers; consumers dedup
-      * bucket b's delta hashes across all producers and count urls
-      * missing from bucket b's seen-hash shard. */
+      * dst urls to longs and hash-partition them into per-(producer,
+      * bucket) FILES — a shuffle barrier must MATERIALIZE partitioned
+      * data for the next stage, and Spark's map tasks write/fsync theirs
+      * through the same one filesystem + page cache all 32 threads
+      * share, so a RAM-buffer "exchange" would overstate the machine's
+      * ceiling (measured: the in-memory variant scaled 0.65-0.74 where
+      * Spark's file-backed exchange cannot — that contention is the
+      * machine's, not Spark's). Producers also partition the 1M seen-url
+      * hashes (in-memory — analog of the ~8MB bucketed table scan);
+      * consumers read bucket b's spill files across all producers, build
+      * the seen shard, dedup the delta hashes, and count misses. */
     def runShuffle(threads: Int): Double = {
       val pagesPer = linkPages / threads
       val seenPer = seenUrls / threads
+      val dir = java.nio.file.Files.createTempDirectory("probe-shuffle")
       val t0 = System.nanoTime()
-      val delta = Array.fill(threads, threads)(
-        new LongBuf(pagesPer * cfg.outDegree / threads + 16))
       val seenB = Array.fill(threads, threads)(new LongBuf(seenPer / threads + 16))
+      def spill(t: Int, b: Int) = dir.resolve(s"m$t-r$b.bin")
       val producers = (0 until threads).map { t =>
         val th = new Thread(() => {
           // seen-table scan analog: this thread's slice of the 1M urls
@@ -159,7 +166,12 @@ object ThreadScaleProbe {
             seenB(t)(((uh & 0x7fffffffL) % threads).toInt).add(uh)
             s += 1
           }
-          // link-delta analog: decode + extract + resolve + hash per page
+          // link-delta analog: decode + extract + resolve + hash per page,
+          // buffered binary write into one spill file per reduce bucket
+          val outs = Array.tabulate(threads) { b =>
+            new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(spill(t, b).toFile), 1 << 16))
+          }
           var i = t * pagesPer
           while (i < (t + 1) * pagesPer) {
             val hh = i % cfg.hosts
@@ -170,11 +182,12 @@ object ThreadScaleProbe {
             var j = 0
             while (j < ls.length) {
               val uh = hash64(ls(j))
-              delta(t)(((uh & 0x7fffffffL) % threads).toInt).add(uh)
+              outs(((uh & 0x7fffffffL) % threads).toInt).writeLong(uh)
               j += 1
             }
             i += 1
           }
+          outs.foreach(_.close())
         })
         th.start(); th
       }
@@ -194,13 +207,16 @@ object ThreadScaleProbe {
           var miss = 0L
           t = 0
           while (t < threads) {
-            val buf = delta(t)(b)
+            val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+              new java.io.FileInputStream(spill(t, b).toFile), 1 << 16))
+            val n = (java.nio.file.Files.size(spill(t, b)) / 8L).toInt
             var k = 0
-            while (k < buf.len) {
-              val v = buf(k)
+            while (k < n) {
+              val v = in.readLong()
               if (dedup.add(v) && !seenSet.contains(v)) miss += 1
               k += 1
             }
+            in.close()
             t += 1
           }
           missing.addAndGet(miss)
@@ -208,7 +224,12 @@ object ThreadScaleProbe {
         th.start(); th
       }
       consumers.foreach(_.join())
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // cleanup outside the timed region
+      (0 until threads).foreach(t => (0 until threads).foreach(b =>
+        java.nio.file.Files.deleteIfExists(spill(t, b))))
+      java.nio.file.Files.deleteIfExists(dir)
+      dt
     }
 
     runMap(4); runShuffle(4) // warmup JIT

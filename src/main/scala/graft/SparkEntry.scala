@@ -748,17 +748,33 @@ object SparkEntry {
       implicit val sqlCtx = s.sqlContext
       val in = MemoryStream[StreamingOps.SigIn]
       val sink = s"st3_sink_${st3Runs.incrementAndGet()}"
-      val q = StreamingOps.nearDupStream(in.toDS(), numHashes = 64,
-          bands = 16, minEstJaccard = 0.5, cap = 64,
-          watermarkDelay = "10 minutes", stateTtlMs = 24L * 3600 * 1000)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+      // state-store partition count is fixed at query start from
+      // spark.sql.shuffle.partitions; size it to the gate fixture's band-row
+      // volume (≈ docs × bands ≈ 8k narrow rows/run) instead of the
+      // session's core-count constant — 32 HDFS-backed state stores each
+      // commit delta+metadata files EVERY micro-batch, and at this state
+      // size that is pure file-system overhead (guide §2.2: size reduce
+      // partitions to the data). A production stream sizes this the same
+      // way, via its own shuffle-partition conf at first start; grouping is
+      // logical, so the emitted hit set is identical at any partition count.
+      val partsKey = "spark.sql.shuffle.partitions"
+      val savedParts = s.conf.get(partsKey)
+      s.conf.set(partsKey, "4")
       try {
-        val per = math.max(docs.length / 4, 1)
-        docs.grouped(per).foreach { chunk =>
-          in.addData(chunk.toSeq); q.processAllAvailable()
-        }
-      } finally q.stop()
+        val q = StreamingOps.nearDupStream(in.toDS(), numHashes = 64,
+            bands = 16, minEstJaccard = 0.5, cap = 64,
+            watermarkDelay = "10 minutes", stateTtlMs = 24L * 3600 * 1000)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val per = math.max(docs.length / 4, 1)
+          docs.grouped(per).foreach { chunk =>
+            in.addData(chunk.toSeq); q.processAllAvailable()
+          }
+        } finally q.stop()
+      } finally s.conf.set(partsKey, savedParts) // restore only after the
+      // stream is fully stopped: start() is async and the first batch plans
+      // (and pins the state layout) after it returns
       s.table(sink)
         .select(col("matchId").as("a_id"), col("docId").as("b_id"))
         .dropDuplicates("a_id", "b_id")

@@ -109,7 +109,13 @@ object ThreadScaleProbe {
       var acc = 0L
       var i = lo
       while (i < hi) {
-        val h = i % cfg.hosts
+        // scaleSiteUrls' enumeration (h = i div pagesPerHost): the old
+        // `i % hosts, i % pagesPerHost` had pagesPerHost dividing hosts, so
+        // the pair was fully determined by i % hosts — 2048 distinct pages
+        // recycled through caches instead of the kernel's distinct-page
+        // stream (round-5 ADVICE finding: the ceiling measured a different
+        // workload than the kernel it judges)
+        val h = (i / cfg.pagesPerHost) % cfg.hosts
         val p = i % cfg.pagesPerHost
         val url = Fixtures.pageUrl(cfg, h, p)
         val html = Fixtures.pageHtml(cfg, h, p)
@@ -159,10 +165,16 @@ object ThreadScaleProbe {
       def spill(t: Int, b: Int) = dir.resolve(s"m$t-r$b.bin")
       val producers = (0 until threads).map { t =>
         val th = new Thread(() => {
-          // seen-table scan analog: this thread's slice of the 1M urls
+          // seen-table scan analog: this thread's slice of the 1M urls,
+          // enumerated like scaleSiteUrls (h = s div pagesPerHost) so the
+          // seen set really holds the kernel's 1M-distinct url universe —
+          // the old `s % hosts` spelling collapsed it to 2048 distinct
+          // urls (~64 cache-resident entries per shard) and made nearly
+          // every delta hash a "miss" (round-5 ADVICE finding)
           var s = t * seenPer
           while (s < (t + 1) * seenPer) {
-            val uh = hash64(Fixtures.pageUrl(cfg, s % cfg.hosts, s % cfg.pagesPerHost))
+            val uh = hash64(Fixtures.pageUrl(cfg,
+              (s / cfg.pagesPerHost) % cfg.hosts, s % cfg.pagesPerHost))
             seenB(t)(((uh & 0x7fffffffL) % threads).toInt).add(uh)
             s += 1
           }
@@ -174,7 +186,8 @@ object ThreadScaleProbe {
           }
           var i = t * pagesPer
           while (i < (t + 1) * pagesPer) {
-            val hh = i % cfg.hosts
+            // distinct-page enumeration, mirroring the kernel's generator
+            val hh = (i / cfg.pagesPerHost) % cfg.hosts
             val pp = i % cfg.pagesPerHost
             val url = Fixtures.pageUrl(cfg, hh, pp)
             val html = Fixtures.pageHtml(cfg, hh, pp)

@@ -123,27 +123,48 @@ object Fixtures {
       adminPages: Boolean = false,   // add a /admin/ page per host (robots-disallowed)
       seed: Long = 42L)
 
-  def hostName(h: Int): String = f"host$h%04d.example.com"
+  /** host%04d.example.com — manual zero-pad, byte-identical to the old
+    * `f"host$h%04d..."` spelling: the printf interpolator builds a
+    * java.util.Formatter per call, and the kernel calls this ~10^8 times
+    * per bench run (every pageUrl of every generated link), where it was
+    * a measurable slice of BOTH kernel phases (guide §1.2 step 2:
+    * per-task work, after the job shape is right). */
+  def hostName(h: Int): String = {
+    val sb = new java.lang.StringBuilder(21)
+    sb.append("host")
+    if (h < 1000) { sb.append('0'); if (h < 100) { sb.append('0'); if (h < 10) sb.append('0') } }
+    sb.append(h).append(".example.com").toString
+  }
 
   def pageUrl(cfg: ScaleConfig, h: Int, p: Int): String = {
     val r = mix(cfg.seed, h.toLong * 1000003L + p)
     val isContent = p > 0 && (((r >>> 8) & 0xffff).toDouble / 65536.0) < cfg.contentFraction
     val ext = if (isContent) { if ((r & 1) == 0L) ".csv" else ".pdf" } else ".html"
-    if (p == 0) s"http://${hostName(h)}" else s"http://${hostName(h)}/page$p$ext"
+    // append-based (no interpolator allocations) — identical bytes
+    val sb = new java.lang.StringBuilder(48)
+    sb.append("http://")
+    sb.append(hostName(h))
+    if (p != 0) sb.append("/page").append(p).append(ext)
+    sb.toString
   }
 
   /** Deterministic html for page (h,p): out-degree links, 80/20 intra/cross. */
   def pageHtml(cfg: ScaleConfig, h: Int, p: Int): String = {
-    val sb = new StringBuilder
-    sb.append(s"<!doctype html><html><head><title>Page $h/$p</title></head><body>\n")
+    // presized + append-based: the old per-link s"..." interpolations and
+    // default-capacity growth were pure allocator traffic on the kernel's
+    // hot path; output is byte-identical
+    val sb = new StringBuilder(
+      80 + cfg.outDegree * 64 + cfg.fillerParagraphs * 190)
+    sb.append("<!doctype html><html><head><title>Page ").append(h)
+      .append('/').append(p).append("</title></head><body>\n")
     var k = 0
     while (k < cfg.outDegree) {
       val r = mix(cfg.seed, (h.toLong * 1000003L + p) * 131L + k)
       val cross = (((r >>> 16) & 0xffff).toDouble / 65536.0) < cfg.crossHostFraction
       val th = if (cross) (math.abs(r.toInt) % cfg.hosts) else h
       val tp = math.abs((r >>> 32).toInt) % cfg.pagesPerHost
-      val target = pageUrl(cfg, th, tp)
-      sb.append(s"""<a href="$target">link $k</a>\n""")
+      sb.append("<a href=\"").append(pageUrl(cfg, th, tp))
+        .append("\">link ").append(k).append("</a>\n")
       k += 1
     }
     if (cfg.adminPages && p == 0)

@@ -143,6 +143,13 @@ object GoUrl {
   private val upperhex = "0123456789ABCDEF"
 
   def escape(s: String, mode: Encoding): String = {
+    // fast path: most real paths/hosts need no escaping at all — one scan,
+    // zero allocation, identical output (an ASCII char that needs no escape
+    // passes through verbatim)
+    var k = 0
+    while (k < s.length && s.charAt(k) < 0x80 && !shouldEscape(s.charAt(k), mode))
+      k += 1
+    if (k == s.length) return s
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val buf = new StringBuilder
     var i = 0
@@ -220,6 +227,12 @@ object GoUrl {
         base.substring(0, i + 1) + ref
       } else ref
     if (full.isEmpty) return ""
+    // fast path: a dot segment needs '.' at a segment start, i.e. at
+    // position 0 or right after a '/'. Without one, the answer is just the
+    // rooted merged path — no split/buffer/join allocations (identical
+    // output; link resolution runs this tens of millions of times per wave)
+    if (full.charAt(0) != '.' && full.indexOf("/.") < 0)
+      return if (full.charAt(0) == '/') full else "/" + full
     val src = full.split("/", -1)
     val dst = scala.collection.mutable.ArrayBuffer.empty[String]
     src.foreach {

@@ -125,7 +125,17 @@ object HtmlTok {
         if (name.isEmpty) { i += 1 }
         else {
           val attrs = ArrayBuffer.empty[(String, String)]
-          val seen = scala.collection.mutable.HashSet.empty[String]
+          // first-wins dedup by linear scan: tags carry a handful of attrs,
+          // and the per-tag HashSet was allocator noise on the wave kernel's
+          // ~45 tags/page hot path (same semantics as the old seen-set)
+          def unseen(a: String): Boolean = {
+            var x = 0
+            while (x < attrs.length) {
+              if (attrs(x)._1 == a) return false
+              x += 1
+            }
+            true
+          }
           var done = false
           while (!done && j < n) {
             while (j < n && (isSpace(html.charAt(j)) || html.charAt(j) == '/')) j += 1
@@ -157,7 +167,7 @@ object HtmlTok {
                   }
                 }
               }
-              if (aname.nonEmpty && seen.add(aname))
+              if (aname.nonEmpty && unseen(aname))
                 attrs += (aname -> decodeEntities(avalue))
             }
           }

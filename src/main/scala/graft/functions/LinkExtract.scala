@@ -26,9 +26,18 @@ object LinkExtract {
 
   /** All resolved outbound link destinations of a page, document order,
     * duplicates preserved (the reference's per-row Read-or-Insert collapses
-    * them; set semantics are applied at the link-table write). */
+    * them; set semantics are applied at the link-table write). The base url
+    * is parsed ONCE per page, not once per href (identical results —
+    * resolveHref re-parsed the same base string for every link, which on
+    * the wave kernel's ~16-link pages was 16x redundant parse work). */
   def extractLinks(pageUrl: String, html: String): Seq[String] =
-    HtmlTok.extractHrefs(html).flatMap(h => resolveHref(pageUrl, h))
+    GoUrl.parse(pageUrl).toOption match {
+      case None => Seq.empty
+      case Some(base) =>
+        HtmlTok.extractHrefs(html).flatMap(h =>
+          GoUrl.parse(foldBackslashes(h)).toOption
+            .map(ref => base.resolveReference(ref).serialize))
+    }
 
   /** Extracted links of a raw body iff it sniffs as html/plain utf-8
     * (core/url.go:188-195 gate), else empty. */

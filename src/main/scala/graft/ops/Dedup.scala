@@ -132,8 +132,14 @@ object Dedup {
       bands: Int = 16, minEstJaccard: Double = 0.5,
       maxBucket: Int = 4096): DataFrame = {
     val rowsPer = numHashes / bands
-    val sigs = docs.select(col("doc_id"), col("text"),
+    // signatures are consumed THREE times (banding + both pair rejoins);
+    // the minhash UDF (tokenize + numHashes mixes per shingle) is the
+    // expensive map of this pipeline, so materialize the narrow
+    // (doc_id, sig) frame once instead of re-running it per consumer —
+    // the mirrorHosts/semDedup staged-frame rule
+    val sigs = docs.select(col("doc_id"),
       minhashUdf(col("text"), lit(k), lit(numHashes)).as("sig"))
+      .localCheckpoint(true)
 
     // band key = hash of the band's slice — explode to (band, bucket, doc)
     val bandStructs = array((0 until bands).map(b =>
@@ -200,8 +206,11 @@ object Dedup {
         .select(col("doc_id"), col("bc.band").as("band"),
           col("bc.bucket").as("bucket"))
     }
-    val corpusSigs = sigsOf(corpus)
-    val deltaSigs = sigsOf(delta)
+    // both signature frames are consumed twice (banding + the pair rejoin)
+    // — materialize the narrow (doc_id, sig) rows once (see minhashPairs);
+    // in production the corpus side persists across waves anyway
+    val corpusSigs = sigsOf(corpus).localCheckpoint(true)
+    val deltaSigs = sigsOf(delta).localCheckpoint(true)
     val corpusBanded =
       capBuckets(bandedOf(corpusSigs), maxBucket, Seq("band", "bucket"))
     val pairIds = bandedOf(deltaSigs).alias("d")
@@ -310,9 +319,13 @@ object Dedup {
   def embeddingDupStructure(emb: DataFrame, dim: Int, rowsPerBand: Int = 4,
       bands: Int = 24, minCosine: Double = 0.95, seed: Long = 7L,
       maxBucket: Int = 4096): (DataFrame, DataFrame) = {
-    // fixed-width digest as the duplicate-group key (never join raw arrays)
+    // fixed-width digest as the duplicate-group key (never join raw arrays).
+    // `keyed` feeds the rep election AND the member expansion, and the
+    // digest (json-serialize + sha256 per vector) is the expensive map —
+    // materialize the narrow (vec_id, vkey) frame once
     val keyed = emb.select(col("vec_id"),
       sha2(to_json(col("embedding")).cast("binary"), 256).as("vkey"))
+      .localCheckpoint(true)
     val reps = keyed.groupBy("vkey").agg(min("vec_id").as("rep_id"))
     val repVecs = reps
       .join(emb.select(col("vec_id").as("rep_id"), col("embedding")), Seq("rep_id"))
@@ -393,7 +406,11 @@ object Dedup {
     * in the input, where component_id = min doc_id of the component —
     * deterministic at any parallelism.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame =
+    // every round's exchange carries two longs per row — run the eager
+    // round loop under the data-sized reduce layout (AdaptiveShuffle), not
+    // the session's core-count constant
+    AdaptiveShuffle.narrowRows(pairs.sparkSession) {
     // canonical undirected edge list, oriented u > v
     val init = pairs
       .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
@@ -410,20 +427,27 @@ object Dedup {
     // large-star: every node links its strictly-larger neighbors to the
     // minimum of its neighborhood (incl. itself); small-star: every node
     // links its smaller neighbors (and itself) to the neighborhood minimum.
+    // Each star computes the per-node neighborhood minimum as a WINDOW over
+    // the edge rows (one exchange on the node key) instead of the
+    // groupBy+join spelling (two exchanges carrying the same rows) — same
+    // row set, half the shuffles per round (guide §2.4: two operations
+    // keyed the same way share one exchange). largeStar emits un-distinct'd
+    // rows: smallStar's window min and the round-ending distinct are
+    // duplicate-insensitive, so the intermediate distinct only re-shuffled
+    // the round's rows a third time.
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      sym.join(mins, Seq("u"))
+      sym.withColumn("m",
+          least(min(col("v")).over(Window.partitionBy("u")), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
-      val joined = e.join(mins, Seq("u"))
-      joined.filter(col("v") =!= col("m"))
+      val withMin = e.withColumn("m",
+        min(col("v")).over(Window.partitionBy("u")))
+      withMin.filter(col("v") =!= col("m"))
         .select(col("v").as("a"), col("m").as("b"))
-        .unionByName(joined.select(col("u").as("a"), col("m").as("b")))
+        .unionByName(withMin.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"),
           least(col("a"), col("b")).as("v"))
@@ -532,10 +556,17 @@ object Dedup {
     * than float noise on any real corpus (the ivfTopK centroid caveat
     * applies to cell-boundary vectors). */
   def semDedup(emb: DataFrame, dim: Int, minCosine: Double, nlist: Int = 8,
-      lloydIters: Int = 4, maxCellWidth: Int = 4096): DataFrame = {
-    // exact-dup collapse: one representative (min vec_id) per content hash
+      lloydIters: Int = 4, maxCellWidth: Int = 4096): DataFrame =
+    // the eager stages (Lloyd collects, assignment checkpoint, component
+    // rounds) all exchange narrow rows — data-sized reduce layout
+    AdaptiveShuffle.narrowRows(emb.sparkSession) {
+    // exact-dup collapse: one representative (min vec_id) per content hash;
+    // the digest frame feeds the rep election AND the final member join —
+    // materialize the narrow (vec_id, vkey) rows once (embeddingDupStructure
+    // treatment)
     val keyed = emb.select(col("vec_id"),
       sha2(to_json(col("embedding")).cast("binary"), 256).as("vkey"))
+      .localCheckpoint(true)
     val reps = keyed.groupBy("vkey").agg(min("vec_id").as("rep_id"))
     val repVecs = reps
       .join(emb.select(col("vec_id").as("rep_id"), col("embedding")),

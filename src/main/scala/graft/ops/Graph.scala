@@ -55,10 +55,12 @@ object Graph {
     * [[pageRankScaled]], the exact-integer twin with the identical plan
     * shape, and GraphSpec ties the two together on the fixture.
     */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame =
+    // narrow (long, long/double) rows every round: data-sized reduce layout
+    AdaptiveShuffle.narrowRows(edges.sparkSession) {
     val spark = edges.sparkSession
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
@@ -106,10 +108,14 @@ object Graph {
     * Returns (id, s_rank) with r_k = s_rank / (N * 120^k). Magnitude after
     * k rounds is ~120^k * (N * r_k), so k <= 8 stays far inside Long/BIGINT.
     */
-  def pageRankScaled(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRankScaled(edges: DataFrame, iters: Int): DataFrame =
+    AdaptiveShuffle.narrowRows(edges.sparkSession) {
     require(iters <= 8, s"scaled ranks overflow past 8 iterations (got $iters)")
+    // checkpointed once: nodes, deg, the divisibility/sink asserts and the
+    // weighted-edge build all branch from e — without this each consumer
+    // re-pays the upstream distinct
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
@@ -154,10 +160,12 @@ object Graph {
     * Returns (id, s_rank) with r_k = s_rank / (m · 120^k); unreached
     * nodes score 0 exactly. */
   def personalizedPageRankScaled(edges: DataFrame, seeds: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    AdaptiveShuffle.narrowRows(edges.sparkSession) {
     require(iters <= 8, s"scaled ranks overflow past 8 iterations (got $iters)")
+    // checkpointed once — same multi-consumer rationale as pageRankScaled
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
+      col("dst").cast("long").as("dst")).distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
@@ -204,7 +212,8 @@ object Graph {
     * every node reachable within maxDepth hops (seeds at depth 0) —
     * deterministic integers at any parallelism.
     */
-  def crawlDepth(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+  def crawlDepth(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame =
+    AdaptiveShuffle.narrowRows(edges.sparkSession) {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().localCheckpoint(true)
     // two round-scoped tracks: frontier(k) replaces frontier(k-1) once
@@ -242,7 +251,8 @@ object Graph {
     * (id, value) rows — the Pregel shape shared with pageRank; lineage is
     * truncated per half-step. Nodes with no out-edges (in-edges) emit hub
     * (authority) 0 via the final left joins. */
-  def hitsScaled(edges: DataFrame, iters: Int): DataFrame = {
+  def hitsScaled(edges: DataFrame, iters: Int): DataFrame =
+    AdaptiveShuffle.narrowRows(edges.sparkSession) {
     require(iters >= 1, s"iters must be positive (got $iters)")
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().localCheckpoint(true)
@@ -294,7 +304,8 @@ object Graph {
     * back `resolved = false`.
     *
     * @return one row per distinct src: (src, final_url, resolved) */
-  def resolveRedirects(redirects: DataFrame, hopCap: Int = 32): DataFrame = {
+  def resolveRedirects(redirects: DataFrame, hopCap: Int = 32): DataFrame =
+    AdaptiveShuffle.narrowRows(redirects.sparkSession) {
     require(hopCap >= 1, s"hopCap must be positive (got $hopCap)")
     val ic = new IterCheckpoint(redirects.sparkSession)
     var f = ic.next(redirects.groupBy(col("src")).agg(min(col("dst")).as("dst")))

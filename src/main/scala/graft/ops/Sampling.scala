@@ -67,8 +67,16 @@ object Sampling {
     // (0.3+0.3+0.4 == 0.9999999999999999), and without it that final cut
     // would stay at "ffffffff" and leak the single "ffffffff" prefix into
     // the remainder label the caller expects to be empty
-    val cuts = fractions.scanLeft(0.0)(_ + _).tail
-      .map(s => if (s >= 1.0 - 1e-9) "g" else thresholdHex(s))
+    // the epsilon clamp applies ONLY to the LAST cut (the one the require
+    // above allows to be nominally full): applied to every cut it also
+    // fired on an intermediate sum within 1e-9 of 1.0 — e.g. fractions
+    // [1.0 - 5e-10, 5e-10] mapped the penultimate cut to "g" and silently
+    // absorbed the caller's non-empty final stratum into the previous
+    // label (round-5 ADVICE finding)
+    val sums = fractions.scanLeft(0.0)(_ + _).tail
+    val cuts = sums.zipWithIndex.map { case (s, i) =>
+      if (i == sums.size - 1 && s >= 1.0 - 1e-9) "g" else thresholdHex(s)
+    }
     val p = prefix(key, salt)
     val label = cuts.zip(labels).foldRight(lit(labels.last): Column) {
       case ((cut, lab), rest) => when(p < lit(cut), lit(lab)).otherwise(rest)

@@ -195,7 +195,10 @@ object Similarity {
     * direction. Returns unit centroids. Float-sum shuffle-order caveat: see
     * [[ivfTopK]]. */
   private[ops] def trainCentroids(emb: DataFrame, dim: Int, nlist: Int,
-      lloydIters: Int): Array[Array[Double]] = {
+      lloydIters: Int): Array[Array[Double]] =
+    // seed TakeOrdered + per-round nlist-row Lloyd collects: narrow rows,
+    // data-sized reduce layout for the eager training jobs
+    AdaptiveShuffle.narrowRows(emb.sparkSession) {
     var centroids: Array[Array[Double]] = emb
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(lit("ivf-seed"), col("vec_id")), col("vec_id"))

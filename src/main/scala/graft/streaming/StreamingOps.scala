@@ -75,7 +75,16 @@ object StreamingOps {
     * parallel id/sig lists (encoder-friendly), newest first, plus the
     * RUNNING max member event-time — persisted so a late-but-in-watermark
     * batch whose own rows are older than existing members can never rewind
-    * the eviction deadline below newest-member + TTL. */
+    * the eviction deadline below newest-member + TTL.
+    *
+    * CHECKPOINT COMPATIBILITY: this case class IS the state-store row
+    * schema. Changing its shape (adding `maxTs` did this in round 5)
+    * breaks restores from checkpoints written by an older build — Spark
+    * decodes the persisted state rows with the NEW layout and fails or
+    * misreads them. An upgrade that alters this class requires a fresh
+    * checkpoint directory (re-seeding dedup state from the batch-side urls
+    * table, the documented restart path); do not point a new build at an
+    * old nearDupStream checkpoint. */
   case class BucketState(ids: Seq[Long], sigs: Seq[Seq[Long]], maxTs: Long)
 
   /** Streaming NEAR-dup gate — the streaming twin of the batch

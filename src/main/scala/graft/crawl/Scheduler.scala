@@ -66,6 +66,11 @@ final case class CrawlConfig(
   * on AQE skew handling.
   */
 final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) {
+
+  /** Live seen-bloom shard dir as of this instance's last committed wave —
+    * the wave loop's fast path around re-reading the one-row
+    * seen_bloom_meta table (see runWave's bloomDir resolution). */
+  @volatile private var bloomDirCache: Option[String] = None
   import spark.implicits._
   import Model._
 
@@ -81,7 +86,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     * shared persisted frames are safe, the BlockManager serializes
     * first-computation per block). Failures propagate: any action throwing
     * fails the wave before commitWave publishes. */
-  private val waveExec = java.util.concurrent.Executors.newFixedThreadPool(8,
+  private val waveExec = java.util.concurrent.Executors.newFixedThreadPool(12,
     (r: Runnable) => { val t = new Thread(r, "wave-par"); t.setDaemon(true); t })
 
   private def par[T](thunks: Seq[() => T]): Seq[T] = {
@@ -110,6 +115,12 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
 
   private def emptyDF[T <: Product : org.apache.spark.sql.Encoder]: DataFrame =
     spark.emptyDataset[T].toDF()
+
+  /** Per-instance cached empty frames: deriving a Product ExpressionEncoder
+    * is runtime reflection (hundreds of ms) and the wave loop needs these
+    * constants every wave — pay the derivation once, not once per wave. */
+  private lazy val emptyFrontierDF: DataFrame = emptyDF[FrontierRow]
+  private lazy val emptyHostStateDF: DataFrame = emptyDF[HostStateRow]
 
   /** frontier merge-on-read view: latest (f_wave, f_prio) transition per
     * url wins; urls whose latest transition is `taken` have left the queue.
@@ -163,7 +174,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
 
   private def frontierMorView(onlyUrl: Option[String]): DataFrame =
     frontierLog match {
-      case None => emptyDF[FrontierRow]
+      case None => emptyFrontierDF
       case Some(log) =>
         val df0 = onlyUrl match {
           case Some(u) =>
@@ -218,7 +229,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     * was the last O(catalog) write. Pre-MOR snapshots read as wave 0. */
   private def hostStateDF: DataFrame =
     store.readAppendOnly("host_state") match {
-      case None => emptyDF[HostStateRow]
+      case None => emptyHostStateDF
       case Some(df0raw) =>
         val df0 =
           if (df0raw.columns.contains("h_wave"))
@@ -319,7 +330,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   def frontierViewAsOf(wave: Long): Option[DataFrame] =
     store.asOf(wave).map { s =>
       s.readAppendOnly("frontier") match {
-        case None => emptyDF[FrontierRow]
+        case None => emptyFrontierDF
         case Some(raw) => frontierLatestWins(frontierBackfill(raw))
       }
     }
@@ -388,6 +399,15 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
 
   def runWave(w: Long): WaveStats = {
     store.resetPending()
+    // phase marks (diagnostic, GRAFT_WAVE_DEBUG): driver-latency profile of
+    // one wave — each mark is the wall time since the previous eager point
+    val waveDebug = sys.env.contains("GRAFT_WAVE_DEBUG")
+    var lastMarkNs = System.nanoTime()
+    def mark(label: String): Unit = if (waveDebug) {
+      val now = System.nanoTime()
+      System.err.println(f"[wavephase] $w $label ${(now - lastMarkNs) / 1e9}%.2fs")
+      lastMarkNs = now
+    }
     // persistent-RDD watermark: everything this wave persists or
     // localCheckpoints below is freed at wave end. DataFrame.unpersist()
     // covers the persist() frames but NOT localCheckpoint blocks (they live
@@ -428,6 +448,15 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     }
     val bloomDir: Option[String] =
       if (!cfg.useBloomPrefilter) None
+      // fast path: the dir this instance's PREVIOUS wave published (and
+      // whose geometry is cfg's own by construction). Nothing else writes
+      // seen_bloom_meta — seedUrl/markUncrawlable/compactTables don't touch
+      // it — so re-reading the one-row manifest table (a parquet open + a
+      // head() job) every wave only re-derived this field. A fresh instance
+      // (resume) still takes the validated read below.
+      else if (bloomDirCache.exists(d =>
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(d))))
+        bloomDirCache
       else store.readLatest("seen_bloom_meta") match {
         case Some(df) =>
           val cols = df.columns.toSet
@@ -446,7 +475,9 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         case None if store.exists("urls") => rebuildBloom()
         case None => None
       }
+    mark("bloom_meta")
     val queuedCount = frontier0.filter($"state" === StateQueued).count() // A10 gauge
+    mark("frontier_ck+gauge")
 
     // ---- 1. seeding (crawler.go:139-153)
     val doSeed = w == 0 || queuedCount < cfg.lowWatermark
@@ -516,13 +547,14 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       (allSeeds, creates, wl)
     } else {
       val wl = store.readLatest("whitelist").getOrElse(Seq.empty[String].toDF("host"))
-      (emptyDF[FrontierRow], emptyUrlRows, wl)
+      (emptyFrontierDF, emptyUrlRows, wl)
     }
 
     // seeds are O(seed caps) rows; checkpoint truncates their lineage into
     // the wave (the full-frontier materialization this replaces was the
     // last O(state-size) write of the loop)
     val seedRowsCk = if (doSeed) seedRows.localCheckpoint() else seedRows
+    mark("seeding")
 
     // ---- 2. politeness budget + robots plan (T4/T5)
     // queued commands visible to this wave = committed queued transitions
@@ -594,6 +626,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     }
     val rankBound: Long =
       math.ceil(cfg.waveWindowSec / math.max(minPosDelay, 1e-9)).toLong + 1
+    mark("host_plan")
     val budgeted = politeBudget(queued, hostPlan, waveEnd, rankBound)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -614,6 +647,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       .withColumn("ct_base", trim(split($"content_type", ";").getItem(0)))
       .localCheckpoint()
 
+    mark("fetch_ck")
     // ---- 5. response handlers (P12 mux)
     val getOk = fetched.filter($"method" === "GET" && $"found")
       // fused sniff/is_doc/title: one byte[] copy of the body per row
@@ -653,6 +687,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         posexplode(Funcs.extractLinksUdf($"url", $"html")).as(Seq("href_idx", "dst")))
       .localCheckpoint()
 
+    mark("getok_links_ck")
     val linkRows = linksRaw
       .withColumn("rn_", row_number().over(
         Window.partitionBy($"src", $"dst").orderBy($"href_idx")))
@@ -680,6 +715,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         urlsViewBuckets(Some(buckets)).localCheckpoint()
       }
     val urlsReadCount = urlsWave.count()
+    mark("urls_wave")
 
     // ---- 7. url writes (MOR appends)
     val urlsEff = urlsWave.unionByName(seedCreates)
@@ -738,6 +774,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       () => headUpdatesRaw.localCheckpoint(),
       () => dstCreatesRaw.localCheckpoint()))
 
+    mark("url_write_deltas")
     // ---- 8. snapshots (T9): GET-only append
     val snapshotRows = getOk.select($"url", vtTs($"vt").as("created"),
       lit(200).as("status"), lit(0L).as("duration"), $"resp_headers".as("headers"),
@@ -910,7 +947,9 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
         Seq((w, newDir, cfg.bloomShards, perShardItems, cfg.bloomFpp))
           .toDF("wave", "dir", "shards", "per_shard_items", "fpp")))
     }) else Nil)
+    mark("plan_build")
     val results = par(actions)
+    mark("stage_writes")
     val staged = results.filterNot(_._1.startsWith("#"))
     val countOf = results.filter(_._1.startsWith("#")).toMap
 
@@ -934,6 +973,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
       }.toDF("wave", "table", "partition_id", "rows", "version")
     val lineageDF = (perPart :+ footerDF).reduce(_ unionByName _)
     store.stageAppend("lineage", lineageDF)
+    mark("lineage")
 
     val takenCount = countOf("#taken")
     val okCount = countOf("#ok")
@@ -943,6 +983,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     val depth = queuedTotal - takenCount + enqCount
 
     store.commitWave(w)
+    mark("commit")
 
     // prune superseded seen_bloom dirs now that the commit re-pointed the
     // manifest: each published dir is CUMULATIVE (the merge folds the
@@ -950,7 +991,9 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // without this a W-wave crawl keeps W full copies of the filter set
     // (these dirs live outside TableStore snapshot expiry). A resume from
     // an older snapshot falls back to rebuild-from-urls (dir check above).
-    Option(bloomKeep.get()).foreach(pruneBloomDirs)
+    Option(bloomKeep.get()).foreach { d =>
+      pruneBloomDirs(d); bloomDirCache = Some(d)
+    }
 
     Seq(frontier0, urlsSeedFull, urlsWave, seedRowsCk, robotsFetched, hostPlan, budgeted,
       fetched, getOk, headHtml, getUpdates, headUpdates, linksRaw, dstFirst,
@@ -1135,7 +1178,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   private def frontierWinnersStamped: DataFrame =
     frontierLog match {
       case None =>
-        withFrontierMor(emptyDF[FrontierRow], store.currentWave, 0).limit(0)
+        withFrontierMor(emptyFrontierDF, store.currentWave, 0).limit(0)
       case Some(log) =>
         val w = Window.partitionBy("url").orderBy(desc("f_wave"), desc("f_prio"))
         log.withColumn("rn_", row_number().over(w)).filter($"rn_" === 1)
@@ -1145,7 +1188,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
   /** host_state latest-wins winners WITH their h_wave stamp. */
   private def hostWinnersStamped: DataFrame =
     store.readAppendOnly("host_state") match {
-      case None => emptyDF[HostStateRow].withColumn("h_wave", lit(0L)).limit(0)
+      case None => emptyHostStateDF.withColumn("h_wave", lit(0L)).limit(0)
       case Some(df0raw) =>
         val df0 =
           if (df0raw.columns.contains("h_wave"))
@@ -1222,7 +1265,7 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     array().cast("array<string>").as("headers"),
     map().cast("map<string,string>").as("meta"), lit("").as("hash"))
 
-  private def emptyUrlRows: DataFrame = {
+  private lazy val emptyUrlRows: DataFrame = {
     import Model._
     emptyDF[UrlRow]
   }

@@ -127,6 +127,18 @@ final class TableStore(spark: SparkSession, rootDir: String) {
       case _: org.apache.spark.sql.AnalysisException => None
     }
 
+  /** Per-table cache of the last-built read plan, keyed by the exact
+    * version list it was built over. Version directories are IMMUTABLE
+    * (commits only add new ones), so a DataFrame built over a given version
+    * list stays valid forever — re-building it per read only repeats the
+    * driver-side file listing + parquet footer/schema work (an Iceberg
+    * catalog likewise serves scans from cached manifest metadata). Every
+    * action on the cached frame still scans the parquet data itself; only
+    * plan-construction metadata is reused. One entry per table (the live
+    * version list), so memory stays O(tables) over arbitrarily many waves. */
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[Long], DataFrame)]
+
   /** Read the union of all committed versions (append-only tables) as ONE
     * multi-path scan (one codegen stage regardless of version count).
     * Bucket-clustered tables (urls) carry their bucket as a data column
@@ -135,18 +147,32 @@ final class TableStore(spark: SparkSession, rootDir: String) {
   def readAppendOnly(table: String): Option[DataFrame] = {
     val versions = committed.getOrElse(table, Nil)
     if (versions.isEmpty) None
-    else tryRead(table, versions.map(v => tableDir(table, v).toString))
+    else planCache.get(table) match {
+      case Some((vs, df)) if vs == versions => Some(df)
+      case _ =>
+        val df = tryRead(table, versions.map(v => tableDir(table, v).toString))
+        df.foreach(d => planCache.update(table, (versions, d)))
+        df
+    }
   }
 
   /** Read only the newest committed version (rewrite tables). The cached
     * union schema is NOT applied here: a rewrite table's live schema is by
     * definition its newest version's, and backfilling legacy columns as
-    * nulls would widen it. */
+    * nulls would widen it. Plan-cached like readAppendOnly (key: the
+    * one-version list), immutability argument identical. */
   def readLatest(table: String): Option[DataFrame] = {
     val versions = committed.getOrElse(table, Nil)
     versions.lastOption.flatMap { v =>
-      try Some(spark.read.parquet(tableDir(table, v).toString))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      planCache.get(s"$table@latest") match {
+        case Some((vs, df)) if vs == Seq(v) => Some(df)
+        case _ =>
+          val df =
+            try Some(spark.read.parquet(tableDir(table, v).toString))
+            catch { case _: org.apache.spark.sql.AnalysisException => None }
+          df.foreach(d => planCache.update(s"$table@latest", (Seq(v), d)))
+          df
+      }
     }
   }
 

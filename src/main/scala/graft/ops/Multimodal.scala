@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per decoded image
+  // (FileCacheImageInputStream): every header read / dHash paid a file
+  // create+write+delete. Crawl blobs arrive as in-memory byte arrays, so
+  // the memory-backed stream cache is strictly better — per-row decode cost
+  // becomes pure CPU (guide §1.2 step 2: per-task work). Process-wide,
+  // set once when this object loads on driver or executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaMeta(
       format: String, width: Int, height: Int, duration_ms: Long, n_bytes: Long)
 

@@ -65,6 +65,40 @@ final case class CrawlConfig(
   * fetch stage is skew-immune by construction; the enqueue anti-joins rely
   * on AQE skew handling.
   */
+/** Static query shapes shared by the wave loop and its plan-shape specs. */
+object Scheduler {
+
+  /** J8 URL-seen probe, hash-exchange form (the round-5 bench kernel's plan,
+    * promoted to the production enqueue path WITH the exact string-confirm
+    * leg the kernel documents):
+    *
+    *   1. anti-join candidate dsts against xxhash64(url) of the seen slice —
+    *      the table side of the exchange carries 8-BYTE LONGS, not ~60-byte
+    *      url strings (guide §2.3: shuffle keys, not payloads). A hash
+    *      absent from the table is DEFINITELY novel (no false negatives).
+    *   2. candidates whose hash IS present are confirmed against strings —
+    *      but only against the O(matched) seen rows sharing a candidate
+    *      hash (semi-join by hash first), so the string exchange is
+    *      O(maybe-seen), never O(table slice). A 64-bit collision therefore
+    *      costs a few confirm rows, never a lost url.
+    *
+    * Returns exactly the `cand` rows whose `dst` does not appear in
+    * `seen`'s `url` column — set-identical to
+    * `cand.join(seen.withColumnRenamed("url","dst"), Seq("dst"),
+    * "left_anti")`, with all other `cand` columns carried through. */
+  private[graft] def hashProbeNewUrls(cand: DataFrame, seen: DataFrame): DataFrame = {
+    val c = cand.withColumn("uh_", xxhash64(col("dst")))
+    val sh = seen.select(xxhash64(col("url")).as("uh_"), col("url"))
+    val hashNovel = c.join(sh.select("uh_"), Seq("uh_"), "left_anti")
+    val maybe = c.join(sh.select("uh_"), Seq("uh_"), "left_semi")
+    val hitSeen = sh.join(c.select("uh_"), Seq("uh_"), "left_semi")
+    val collidedNovel = maybe
+      .join(hitSeen.select(col("url").as("dst")), Seq("dst"), "left_anti")
+    hashNovel.unionByName(collidedNovel)
+      .select(cand.columns.map(col): _*)
+  }
+}
+
 final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) {
 
   /** Live seen-bloom shard dir as of this instance's last committed wave —
@@ -752,17 +786,22 @@ final class Scheduler(spark: SparkSession, store: TableStore, cfg: CrawlConfig) 
     // is always checked.
     val dstNotSeeded = dstFirst
       .join(seedCreates.select($"url".as("dst")), Seq("dst"), "left_anti")
+    // "maybe seen" candidates probe the urls slice via the HASH-EXCHANGE
+    // anti-join + string-confirm (Scheduler.hashProbeNewUrls): the table
+    // side of the exchange carries xxhash64 longs, the string confirm pays
+    // only O(maybe-seen) rows — the round-5 bench kernel's plan, now the
+    // production J8 (plan-asserted in ScaleCrawlSpec)
     val dstNew = bloomDir match {
       case Some(dir) =>
         val hit = ShardedBloom.mightContainCol(spark, dir, cfg.bloomShards,
           $"dst", requireShards = true)
         val tagged = dstNotSeeded.withColumn("bloom_hit", hit)
         val definitelyNew = tagged.filter(!$"bloom_hit")
-        val maybeSeen = tagged.filter($"bloom_hit")
-          .join(urlsWave.select($"url".as("dst")), Seq("dst"), "left_anti")
+        val maybeSeen = Scheduler.hashProbeNewUrls(
+          tagged.filter($"bloom_hit"), urlsWave.select("url"))
         definitelyNew.unionByName(maybeSeen).drop("bloom_hit")
       case _ =>
-        dstNotSeeded.join(urlsWave.select($"url".as("dst")), Seq("dst"), "left_anti")
+        Scheduler.hashProbeNewUrls(dstNotSeeded, urlsWave.select("url"))
     }
     val dstCreatesRaw = dstNew
       .select(newUrlRowCols($"dst", vtTs($"src_vt")): _*)

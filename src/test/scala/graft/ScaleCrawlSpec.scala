@@ -307,4 +307,48 @@ class ScaleCrawlSpec extends AnyFunSuite {
     val totalFetched = sched.urlsView.filter($"last_get".isNotNull).count()
     assert(totalFetched >= okGets.size)
   }
+
+  test("J8 enqueue probe: hash anti-join exchanges longs; string confirm is exact") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.types.LongType
+    // candidate dsts with extra carried columns + a seen slice that plants
+    // a true member, a non-member, and duplicate cand rows
+    val cand = Seq(("http://h0/a", 1L), ("http://h0/b", 2L),
+      ("http://h0/b", 3L), ("http://h1/c", 4L)).toDF("dst", "tag")
+    val seen = Seq("http://h0/a", "http://h9/z", "http://h0/q").toDF("url")
+    val probed = Scheduler.hashProbeNewUrls(cand, seen)
+    // exact equivalence with the plain string anti-join, duplicates kept
+    val expected = cand.join(seen.select(col("url").as("dst")),
+      Seq("dst"), "left_anti")
+    assert(probed.collect().map(_.toString).sorted.toSeq ==
+      expected.collect().map(_.toString).sorted.toSeq)
+    assert(probed.columns.toSeq == cand.columns.toSeq, "column order preserved")
+    // plan shape: the LeftAnti join keyed on the hash must build/stream a
+    // table side whose output is EXACTLY one long column (8 bytes/row on
+    // the exchange) — never the url strings
+    probed.write.format("noop").mode("overwrite").save()
+    // AQE wraps materialized subtrees in QueryStageExec nodes with no
+    // children — unwrap both those and nested adaptive roots
+    def collectJoins(plan: SparkPlan): Seq[BaseJoinExec] = {
+      val here = plan.collect { case j: BaseJoinExec => j }
+      val stages = plan.collect { case q: QueryStageExec =>
+        collectJoins(q.plan) }.flatten
+      val adaptive = plan.collect { case a: AdaptiveSparkPlanExec =>
+        collectJoins(a.executedPlan) }.flatten
+      here ++ stages ++ adaptive
+    }
+    val joins = collectJoins(probed.queryExecution.executedPlan)
+    val hashAnti = joins.filter(j => j.joinType.sql == "LEFT ANTI" &&
+      j.leftKeys.nonEmpty && j.leftKeys.forall(_.dataType == LongType))
+    assert(hashAnti.nonEmpty, s"no hash-keyed LeftAnti join in:\n$joins")
+    assert(hashAnti.exists(j => j.right.output.size == 1 &&
+      j.right.output.head.dataType == LongType),
+      "hash anti-join table side must carry exactly one long column")
+    // the string-confirm anti-join exists and is keyed on the url string
+    assert(joins.exists(j => j.joinType.sql == "LEFT ANTI" &&
+      j.leftKeys.exists(_.dataType.typeName == "string")),
+      "string-confirm leg missing")
+  }
 }

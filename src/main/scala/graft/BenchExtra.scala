@@ -75,7 +75,84 @@ object BenchExtra {
     (p(0).toDouble, p(1).toDouble, p(2).toDouble, p(3).toDouble)
   }
 
+  /** WARC segment-source fan-out measurement (round-5 verdict item #6):
+    * write N gzip segment files via WarcWriter (untimed — storage layout is
+    * paid at archive time), then time (a) the full WarcReader scan, which
+    * parallelizes one task per segment, at local[8] vs local[32], and
+    * (b) `readIndexed` point-fetches of a bounded CDX sample (byte-range
+    * reads). Artifact: bench_warc.json. usage: runMain graft.BenchExtra warc
+    * [segments (256)] [recordsPerSegment (2000)] */
+  private def warcFanout(args: Array[String]): Unit = {
+    import org.apache.spark.sql.{functions => F}
+    val segments = args.lift(1).map(_.toInt).getOrElse(256)
+    val perSeg = args.lift(2).map(_.toInt).getOrElse(2000)
+    val dir = java.nio.file.Files.createTempDirectory("warc-fanout").toString
+    def session(cores: Int) = {
+      val sp = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      sp.sparkContext.setLogLevel("ERROR"); sp
+    }
+    // ---- untimed setup: synthesize + write the segment corpus once
+    val sW = session(32)
+    val n = segments.toLong * perSeg
+    val df = sW.range(n).select(
+      F.concat(F.lit("http://h"), (F.col("id") % 4096).cast("string"),
+        F.lit(".example.com/p/"), F.col("id").cast("string")).as("url"),
+      F.lit("2026-01-01T00:00:00Z").as("date_iso"),
+      F.concat(F.lit("<urn:uuid:"), F.col("id").cast("string"), F.lit(">")).as("record_id"),
+      // ~2 KB deterministic body
+      F.repeat(F.concat(F.lit("payload-"), F.col("id").cast("string"), F.lit(" ")), 128)
+        .cast("binary").as("body"))
+      .repartition(segments)
+    val cdx = graft.sources.WarcWriter.writeSegments(df, dir)
+    val cdxRows = cdx.count()
+    // bounded fetch sample: 1024 hash-smallest cdx entries (deterministic)
+    val sampleRows = cdx.orderBy(F.xxhash64(F.col("url")), F.col("url")).limit(1024)
+      .collect().toSeq
+    sW.stop()
+    // ---- timed: full scan at 8 and 32 cores (fresh session each)
+    def scanOnce(cores: Int): Double = {
+      val sp = session(cores)
+      try {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.sources.WarcReader.read(sp, dir)
+            .agg(F.count(F.lit(1)), F.sum(F.length(F.col("body")))).head()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warmup
+        math.min(once(), once())
+      } finally sp.stop()
+    }
+    val t8 = scanOnce(8)
+    val t32 = scanOnce(32)
+    // ---- timed: indexed point fetches (byte-range reads; 32 cores)
+    val sF = session(32)
+    val tFetch = try {
+      import sF.implicits._
+      val idx = sampleRows.map(r => (r.url, r.warc_file, r.offset,
+          r.length, r.record_id))
+        .toDF("url", "warc_file", "offset", "length", "record_id")
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.sources.WarcWriter.readIndexed(idx)
+          .agg(F.count(F.lit(1)), F.sum(F.length(F.col("body")))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once(); math.min(once(), once())
+    } finally sF.stop()
+    val eff = (t8 / t32) / 4.0
+    val json = f"""{"warc_fanout":{"segments":$segments,"records":$n,"cdx_rows":$cdxRows,"t_scan_local8_sec":$t8%.2f,"t_scan_local32_sec":$t32%.2f,"scan_eff_8_to_32":$eff%.3f,"t_fetch_1024_sec":$tFetch%.2f}}"""
+    println(json)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_warc.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("warc")) { warcFanout(args); return }
     val n = args.headOption.map(_.toInt).getOrElse(3)
     val draws = (0 until n).map { i =>
       System.err.println(s"[benchextra] draw ${i + 1}/$n")
